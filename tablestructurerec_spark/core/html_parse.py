@@ -1,0 +1,212 @@
+"""Embedded-HTML table detection/parsing and boilerplate stripping.
+
+The graft inverse of :mod:`.html_render`: turn text contains prose +
+boilerplate + zero or more ``<table>`` fragments; this module finds the
+fragments, parses them into ``(logic_points, cell_texts)`` — the exact IR the
+reference's renderer consumes (``plot_html_table``, ref
+utils_table_recover.py:409-475) — and synthesizes deterministic physical cell
+quads from the logical grid so the geometry stages (TableRecover, OCR↔cell
+matching) operate on real coordinates.
+
+Round-trip law (pinned by tests): ``render_table_html(*parse_table_html(h)) == h``
+for any ``h`` produced by ``render_table_html``.
+
+Everything here is stdlib-only (html.parser) and runs inside Arrow-batched
+``mapInPandas`` stages — one call per turn, vectorized per batch.
+"""
+
+from __future__ import annotations
+
+import re
+from html.parser import HTMLParser
+from typing import Dict, List, Optional, Tuple
+
+__all__ = [
+    "find_table_fragments",
+    "parse_table_html",
+    "strip_boilerplate",
+    "quads_from_logic_points",
+    "TABLE_RE",
+]
+
+TABLE_RE = re.compile(r"<table\b[^>]*>.*?</table>", re.IGNORECASE | re.DOTALL)
+
+_BOILERPLATE_BLOCK_RE = re.compile(
+    r"<(script|style|nav|header|footer|aside|noscript)\b[^>]*>.*?</\1>",
+    re.IGNORECASE | re.DOTALL,
+)
+_COMMENT_RE = re.compile(r"<!--.*?-->", re.DOTALL)
+_TAG_RE = re.compile(r"<[^>]+>")
+_WS_RE = re.compile(r"[ \t\f\v]+")
+
+
+def find_table_fragments(text: str) -> List[Tuple[int, int, str]]:
+    """All ``<table>...</table>`` fragments in ``text`` as (start, end, html).
+
+    Non-greedy per fragment; nested tables are not produced by the
+    reference's grammar and are treated as part of the outer fragment's body.
+    """
+    if "<table" not in text and "<TABLE" not in text:
+        return []
+    return [(m.start(), m.end(), m.group(0)) for m in TABLE_RE.finditer(text)]
+
+
+class _TableParser(HTMLParser):
+    """Standard HTML-table grid placement with rowspan/colspan occupancy."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.cells: List[dict] = []  # {r0, rspan, c0, cspan, texts, explicit}
+        self.occupied: Dict[Tuple[int, int], bool] = {}
+        self.row = -1
+        self.cursor = 0
+        self.in_cell = False
+        self.cell_lines: List[str] = []
+        self.cur_attrs: dict = {}
+        self.depth = 0  # nested <table> guard
+
+    def handle_starttag(self, tag, attrs):
+        tag = tag.lower()
+        if tag == "table":
+            self.depth += 1
+            return
+        if self.depth > 1:
+            return
+        if tag == "tr":
+            self.row += 1
+            self.cursor = 0
+        elif tag in ("td", "th"):
+            self._close_cell()
+            self.in_cell = True
+            self.cell_lines = [""]
+            self.cur_attrs = dict(attrs)
+        elif tag == "br" and self.in_cell:
+            self.cell_lines.append("")
+
+    def handle_startendtag(self, tag, attrs):
+        if tag.lower() == "br" and self.in_cell:
+            self.cell_lines.append("")
+
+    def handle_endtag(self, tag):
+        tag = tag.lower()
+        if tag == "table":
+            self.depth -= 1
+            return
+        if self.depth > 1:
+            return
+        if tag in ("td", "th"):
+            self._close_cell()
+        elif tag == "tr":
+            self._close_cell()
+
+    def handle_data(self, data):
+        if self.in_cell and self.depth <= 1:
+            self.cell_lines[-1] += data
+
+    def _close_cell(self) -> None:
+        if not self.in_cell:
+            return
+        self.in_cell = False
+        attrs = self.cur_attrs
+        while self.occupied.get((self.row, self.cursor)):
+            self.cursor += 1
+        rspan = max(int(attrs.get("rowspan") or 1), 1)
+        cspan = max(int(attrs.get("colspan") or 1), 1)
+        explicit = "rowspan" in attrs or "colspan" in attrs
+        texts = self.cell_lines
+        if not explicit and "".join(texts) == "":
+            # bare <td></td> — the renderer's empty *grid slot*, not a cell
+            self.occupied[(self.row, self.cursor)] = True
+            self.cursor += 1
+            return
+        self.cells.append(
+            {
+                "r0": self.row,
+                "rspan": rspan,
+                "c0": self.cursor,
+                "cspan": cspan,
+                "texts": texts,
+            }
+        )
+        for r in range(self.row, self.row + rspan):
+            for c in range(self.cursor, self.cursor + cspan):
+                self.occupied[(r, c)] = True
+        self.cursor += cspan
+
+
+def parse_table_html(html: str) -> Tuple[List[List[int]], List[List[str]]]:
+    """Parse one ``<table>`` fragment into (logic_points, cell_texts).
+
+    ``logic_points[i] = [row_start, row_end, col_start, col_end]``
+    (end-inclusive, the reference's convention — comment at ref
+    lineless_table_rec/main.py:155-156); ``cell_texts[i]`` is the list of
+    ``<br>``-separated lines.  Bare ``<td></td>`` (no span attrs, no text)
+    marks an empty grid slot and yields no cell.
+    """
+    p = _TableParser()
+    p.feed(html)
+    p.close()
+    logic: List[List[int]] = []
+    texts: List[List[str]] = []
+    for cell in p.cells:
+        logic.append(
+            [
+                cell["r0"],
+                cell["r0"] + cell["rspan"] - 1,
+                cell["c0"],
+                cell["c0"] + cell["cspan"] - 1,
+            ]
+        )
+        texts.append(cell["texts"])
+    return logic, texts
+
+
+def quads_from_logic_points(
+    logic_points: List[List[int]],
+    col_width: float = 120.0,
+    row_height: float = 40.0,
+    origin_x: float = 0.0,
+    origin_y: float = 0.0,
+) -> List[List[List[float]]]:
+    """Deterministic counter-clockwise physical quads for a logical grid.
+
+    Gives HTML-borne tables real coordinates so the geometric stages
+    (row clustering, benchmark boundaries, span fitting, containment joins)
+    run for real.  Quad corner order is [tl, bl, br, tr] — the orientation
+    TableRecover consumes (ref wired_table_rec/main.py:99-106).
+    """
+    quads = []
+    for r0, r1, c0, c1 in logic_points:
+        x0 = origin_x + c0 * col_width
+        x1 = origin_x + (c1 + 1) * col_width
+        y0 = origin_y + r0 * row_height
+        y1 = origin_y + (r1 + 1) * row_height
+        quads.append([[x0, y0], [x0, y1], [x1, y1], [x1, y0]])
+    return quads
+
+
+def strip_boilerplate(text: str) -> str:
+    """Main-content extraction for a turn's text payload.
+
+    Removes script/style/nav/header/footer/aside blocks and HTML comments,
+    drops the remaining tags, and normalizes runs of spaces/tabs — the graft
+    analogue of the reference's input normalization (``LoadImage`` channel
+    cleanup, ref lineless_table_rec/utils/utils.py:249-341).  ``<table>``
+    fragments should be extracted *before* calling this.
+    """
+    text = _COMMENT_RE.sub("", text)
+    text = _BOILERPLATE_BLOCK_RE.sub("", text)
+    text = _TAG_RE.sub(" ", text)
+    text = _WS_RE.sub(" ", text)
+    lines = [ln.strip() for ln in text.split("\n")]
+    return "\n".join(ln for ln in lines if ln)
+
+
+def extract_turn(
+    text: str,
+) -> Tuple[str, List[Tuple[List[List[int]], List[List[str]]]]]:
+    """Split a turn's text into (clean main content, parsed tables)."""
+    frags = find_table_fragments(text)
+    tables = [parse_table_html(h) for _, _, h in frags]
+    remainder = TABLE_RE.sub(" ", text) if frags else text
+    return strip_boilerplate(remainder), tables

@@ -1,0 +1,108 @@
+"""Golden HTML-render parity + parse round-trip tests.
+
+Render goldens are literals from the reference's
+tests/test_lineless_table_rec.py:197-256 (9 exact strings, incl. rowspan/
+colspan, mid/end spans, invalid row/col elision).  The parser is ours (the
+graft inverse); the round-trip law pins it to the same grammar.
+"""
+
+import pytest
+
+from tablestructurerec_spark.core.html_parse import (
+    extract_turn,
+    find_table_fragments,
+    parse_table_html,
+    strip_boilerplate,
+)
+from tablestructurerec_spark.core.html_render import render_table_html
+
+GOLDEN_CASES = [
+    ([], {}, "<html><body><table></table></body></html>"),
+    (
+        [[0, 0, 0, 0]],
+        {0: ["Cell 1"]},
+        "<html><body><table><tr><td rowspan=1 colspan=1>Cell 1</td></tr></table></body></html>",
+    ),
+    (
+        [[0, 0, 0, 0], [1, 1, 1, 1]],
+        {0: ["Cell 1"], 1: ["Cell 2"]},
+        "<html><body><table><tr><td rowspan=1 colspan=1>Cell 1</td><td></td></tr><tr><td></td><td rowspan=1 colspan=1>Cell 2</td></tr></table></body></html>",
+    ),
+    (
+        [[0, 1, 0, 0]],
+        {0: ["Row 1 Col 1", "Row 2 Col 1"]},
+        "<html><body><table><tr><td rowspan=2 colspan=1>Row 1 Col 1<br>Row 2 Col 1</td></tr><tr></tr></table></body></html>",
+    ),
+    (
+        [[0, 0, 0, 1]],
+        {0: ["Col 1 Row 1", "Col 2 Row 1"]},
+        "<html><body><table><tr><td rowspan=1 colspan=2>Col 1 Row 1<br>Col 2 Row 1</td></tr></table></body></html>",
+    ),
+    (
+        [[0, 1, 0, 1]],
+        {0: ["Row 1 Col 1", "Row 2 Col 1"]},
+        "<html><body><table><tr><td rowspan=2 colspan=2>Row 1 Col 1<br>Row 2 Col 1</td></tr><tr></tr></table></body></html>",
+    ),
+    (
+        [[0, 0, 0, 0], [0, 1, 1, 2]],
+        {0: ["Cell 1"], 1: ["Row 2", "Col 2"]},
+        "<html><body><table><tr><td rowspan=1 colspan=1>Cell 1</td><td rowspan=2 colspan=2>Row 2<br>Col 2</td></tr><tr><td></td></tr></table></body></html>",
+    ),
+    (
+        [[0, 0, 0, 0], [1, 1, 1, 1], [0, 1, 2, 2]],
+        {0: ["Cell 1"], 1: ["Cell 2"], 2: ["Row 1 Col 2", "Row 2 Col 2"]},
+        "<html><body><table><tr><td rowspan=1 colspan=1>Cell 1</td><td></td><td rowspan=2 colspan=1>Row 1 Col 2<br>Row 2 Col 2</td></tr><tr><td></td><td rowspan=1 colspan=1>Cell 2</td></tr></table></body></html>",
+    ),
+    (
+        [[0, 0, 0, 0], [1, 1, 0, 0], [1, 1, 1, 1], [0, 0, 1, 2]],
+        {2: ["Row 3 Col 1", "Row 3 Col 2"]},
+        "<html><body><table><tr><td rowspan=1 colspan=1>Row 3 Col 1<br>Row 3 Col 2</td></tr></table></body></html>",
+    ),
+]
+
+
+@pytest.mark.parametrize("logic_points, cell_texts, expected", GOLDEN_CASES)
+def test_render_table_html_golden(logic_points, cell_texts, expected):
+    assert render_table_html(logic_points, cell_texts) == expected
+
+
+@pytest.mark.parametrize("logic_points, cell_texts, expected", GOLDEN_CASES)
+def test_parse_render_round_trip(logic_points, cell_texts, expected):
+    """parse(render(x)) re-renders byte-identically."""
+    logic, texts = parse_table_html(expected)
+    assert render_table_html(logic, dict(enumerate(texts))) == expected
+
+
+def test_parse_foreign_table():
+    html = (
+        "<table><tr><th>h1</th><th colspan=2>h2</th></tr>"
+        "<tr><td>a</td><td rowspan='2'>b</td><td>c</td></tr>"
+        "<tr><td>d</td><td>e</td></tr></table>"
+    )
+    logic, texts = parse_table_html(html)
+    assert logic == [
+        [0, 0, 0, 0],
+        [0, 0, 1, 2],
+        [1, 1, 0, 0],
+        [1, 2, 1, 1],
+        [1, 1, 2, 2],
+        [2, 2, 0, 0],
+        [2, 2, 2, 2],
+    ]
+    assert [t[0] for t in texts] == ["h1", "h2", "a", "b", "c", "d", "e"]
+
+
+def test_find_and_strip():
+    text = (
+        "hello <nav>menu</nav> world "
+        "<table><tr><td rowspan=1 colspan=1>X</td></tr></table> "
+        "tail <script>evil()</script><!-- c -->"
+    )
+    frags = find_table_fragments(text)
+    assert len(frags) == 1 and frags[0][2].startswith("<table>")
+    main, tables = extract_turn(text)
+    assert "menu" not in main and "evil" not in main
+    assert "hello" in main and "world" in main and "tail" in main
+    assert len(tables) == 1
+    assert tables[0][0] == [[0, 0, 0, 0]]
+    assert strip_boilerplate("a  \t b") == "a b"
