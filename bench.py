@@ -1,0 +1,155 @@
+#!/usr/bin/env python
+"""Benchmark: headline queries + flagship extraction throughput.
+
+Default: runs at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] (default 32) and prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "turns_per_sec": ...}
+
+--scaling: additionally measures extraction throughput at local[N] and
+local[4N] in fresh subprocesses (the sandbox stand-in for N vs 4N executors,
+per BASELINE.json's north rule) and writes BENCH/BASELINE.md with the
+throughputs and the N→4N scaling efficiency.
+
+--extract-only: internal mode used by --scaling children.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO_ROOT)
+os.environ["PYTHONPATH"] = REPO_ROOT + os.pathsep + os.environ.get("PYTHONPATH", "")
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def _sf_number(sf_dir: str) -> float:
+    tail = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(tail.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+# extraction corpus size scales with sf: sf0.1 → 2000 conversations
+def _n_convs(sf: float) -> int:
+    return max(int(20000 * sf), 50)
+
+
+def _force(df) -> int:
+    """Fully execute a plan without driver-side collect; returns row count."""
+    return df.count()
+
+
+def _run_extraction(spark, sf: float) -> tuple[float, int]:
+    from tablestructurerec_spark.plans.extract import clean_turns, extract_tables
+    from tablestructurerec_spark.sources.synthetic import synth_transcripts
+
+    transcripts = synth_transcripts(spark, n_convs=_n_convs(sf), mean_turns=8, seed=42)
+    transcripts = transcripts.persist()
+    n_turns = transcripts.count()  # materialize input outside the timed window
+
+    t0 = time.perf_counter()
+    _force(extract_tables(transcripts))
+    _force(clean_turns(transcripts))
+    dt = time.perf_counter() - t0
+    transcripts.unpersist()
+    return dt, n_turns
+
+
+def _ship(spark) -> None:
+    import __spark_entry__ as entry_mod
+
+    entry_mod._ship_package(spark)
+
+
+def main() -> None:
+    from tablestructurerec_spark.session import get_spark
+
+    sf = _sf_number(SF_DIR)
+    extract_only = "--extract-only" in sys.argv
+
+    spark = get_spark(app="tsr-bench", cpus=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    _ship(spark)
+
+    if extract_only:
+        dt, n_turns = _run_extraction(spark, sf)
+        print(json.dumps({"cpus": CPUS, "sec": round(dt, 3), "turns": n_turns,
+                          "turns_per_sec": round(n_turns / dt, 1)}))
+        spark.stop()
+        return
+
+    from tablestructurerec_spark.operators.relational import QUERIES
+
+    timings: dict[str, float] = {}
+
+    ext_sec, n_turns = _run_extraction(spark, sf)
+    timings["flagship_extract"] = round(ext_sec, 3)
+
+    for name, fn in QUERIES.items():
+        t0 = time.perf_counter()
+        _force(fn(spark, SF_DIR))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    result = {
+        "metric": "bench_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": CPUS,
+        "turns": n_turns,
+        "turns_per_sec": round(n_turns / ext_sec, 1),
+    }
+    print(json.dumps(result))
+    spark.stop()
+
+    if "--scaling" in sys.argv:
+        _scaling_report(sf)
+
+
+def _scaling_report(sf: float) -> None:
+    """Same input, two parallelism levels, fresh JVMs; efficiency to BENCH/."""
+    levels = (8, 32)
+    results = {}
+    for n in levels:
+        env = dict(os.environ, SPARK_GRAFT_CPUS=str(n), SPARK_GRAFT_SF_DIR=SF_DIR)
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--extract-only"],
+            env=env, capture_output=True, text=True, check=True,
+        )
+        results[n] = json.loads(out.stdout.strip().splitlines()[-1])
+    t_n, t_4n = results[levels[0]], results[levels[1]]
+    eff = (t_4n["turns_per_sec"] / t_n["turns_per_sec"]) / (levels[1] / levels[0])
+    os.makedirs(os.path.join(REPO_ROOT, "BENCH"), exist_ok=True)
+    md = os.path.join(REPO_ROOT, "BENCH", "BASELINE.md")
+    with open(md, "w") as f:
+        f.write(
+            "# BENCH/BASELINE — measured extraction throughput & scaling\n\n"
+            f"Input: deterministic synthetic transcripts, seed=42, sf={sf} "
+            f"({t_n['turns']} turns), identical at both parallelism levels.\n\n"
+            "| parallelism | wall sec | turns/sec |\n|---|---|---|\n"
+            f"| local[{levels[0]}] | {t_n['sec']} | {t_n['turns_per_sec']} |\n"
+            f"| local[{levels[1]}] | {t_4n['sec']} | {t_4n['turns_per_sec']} |\n\n"
+            f"**Scaling efficiency {levels[0]}→{levels[1]} "
+            f"(x{levels[1]//levels[0]} cores): {eff:.3f}** "
+            "(north-rule target ≥ 0.8).\n\n"
+            "The extraction plan is narrow (no shuffle): per-turn mapInPandas "
+            "over input splits, so efficiency is bounded by Arrow/Python worker "
+            "startup amortization, not data exchange.\n"
+        )
+    print(json.dumps({"scaling_efficiency": round(eff, 3),
+                      "local_n": t_n, "local_4n": t_4n}))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,449 @@
+"""SQL-expressible operator suite over the driver testdata tables.
+
+Each entry re-expresses one operator family from SURVEY.md §2 as a native
+DataFrame plan (no Python UDFs — every query here is pure Catalyst), paired
+with an ANSI-SQL oracle DuckDB runs on the same parquet.  Column names are
+aliased identically on both sides (the driver hash-compares by sorted column
+name).
+
+Scale notes per query are in the docstrings: what shuffles, what broadcasts,
+what prunes.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+__all__ = ["QUERIES", "ORACLE_SQL"]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# A1 — sessionization (ref wired_table_rec/table_recover.py:38-65: sorted-diff
+# row clustering).  Window lag + running sum of gap flags; the groupBy
+# shuffles on user_id (150 keys at sf0.01; at 100 TB this is the classic
+# sessionize — AQE splits skewed users).
+# ---------------------------------------------------------------------------
+def q_a1_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # exact microsecond gap — no truncation/timezone semantics to disagree on
+    gap = F.expr("timestampdiff(MICROSECOND, prev_ts, ts)")
+    flagged = ev.withColumn("prev_ts", F.lag("ts").over(w)).select(
+        "user_id",
+        F.when(gap.isNull() | (gap > 600 * 1_000_000), 1).otherwise(0).alias("new_sess"),
+    )
+    return (
+        flagged.groupBy("user_id")
+        .agg(F.sum("new_sess").cast("long").alias("n_sessions"))
+        .orderBy("user_id")
+    )
+
+
+_A1_SQL = """
+SELECT user_id,
+       CAST(SUM(new_sess) AS BIGINT) AS n_sessions
+FROM (
+  SELECT user_id,
+         CASE WHEN prev_ts IS NULL
+              OR   date_diff('microsecond', prev_ts, ts) > 600 * 1000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM (
+    SELECT user_id, ts,
+           LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+    FROM events
+  )
+)
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# W1 — reading-order sort, native approximation (ref
+# utils_table_recover.py:232-268): band rows by y-gap sessionization, then
+# order (band, x).  Boxes derived deterministically from lineitem.
+# ---------------------------------------------------------------------------
+def q_w1_reading_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    boxes = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_partkey") % 97).cast("double").alias("xmin"),
+        (F.col("l_suppkey") % 41).cast("double").alias("ymin"),
+    )
+    wy = Window.partitionBy("l_orderkey").orderBy("ymin", "xmin", "l_linenumber")
+    gap = F.col("ymin") - F.lag("ymin").over(wy)
+    banded = boxes.withColumn(
+        "band",
+        F.sum(F.when(gap.isNull() | (gap > 5), 1).otherwise(0)).over(wy),
+    )
+    wo = Window.partitionBy("l_orderkey").orderBy("band", "xmin", "l_linenumber")
+    return (
+        banded.select(
+            "l_orderkey",
+            "l_linenumber",
+            "xmin",
+            "ymin",
+            F.row_number().over(wo).cast("int").alias("read_rank"),
+        )
+    ).orderBy("l_orderkey", "read_rank")
+
+
+_W1_SQL = """
+WITH boxes AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(l_partkey % 97 AS DOUBLE) AS xmin,
+         CAST(l_suppkey % 41 AS DOUBLE) AS ymin
+  FROM lineitem
+), banded AS (
+  SELECT *, SUM(CASE WHEN prev_y IS NULL OR ymin - prev_y > 5 THEN 1 ELSE 0 END)
+            OVER (PARTITION BY l_orderkey ORDER BY ymin, xmin, l_linenumber) AS band
+  FROM (
+    SELECT *, LAG(ymin) OVER (PARTITION BY l_orderkey ORDER BY ymin, xmin, l_linenumber) AS prev_y
+    FROM boxes
+  )
+)
+SELECT l_orderkey, l_linenumber, xmin, ymin,
+       CAST(ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY band, xmin, l_linenumber) AS INT)
+         AS read_rank
+FROM banded
+ORDER BY l_orderkey, read_rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# A5 — ordered gather/concat per group (ref utils_table_recover.py:271-305:
+# same-row OCR text merge).  collect_list over a sorted window + array_join;
+# single shuffle on the group key.
+# ---------------------------------------------------------------------------
+def q_a5_gather(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("l_linenumber", F.concat("l_returnflag", "l_linestatus").alias("s"))
+                        )
+                    ),
+                    lambda x: x["s"],
+                ),
+                "",
+            ).alias("gathered"),
+            F.count(F.lit(1)).alias("n_frags"),
+        )
+        .orderBy("l_orderkey")
+    )
+
+
+_A5_SQL = """
+SELECT l_orderkey,
+       STRING_AGG(l_returnflag || l_linestatus, ''
+                  ORDER BY l_linenumber, l_returnflag || l_linestatus) AS gathered,
+       COUNT(*) AS n_frags
+FROM lineitem
+GROUP BY l_orderkey
+ORDER BY l_orderkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# A6/A7 — grid-merge aggregation (ref lineless_table_rec/main.py:199-238:
+# merge cells sharing a logic box; envelope min/max + content concat).
+# Expressed as the TPC-H-Q1-shaped partial-agg-friendly groupBy.
+# ---------------------------------------------------------------------------
+def q_a6_grid_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.min("l_extendedprice"), 2).alias("env_min"),
+            F.round(F.max("l_extendedprice"), 2).alias("env_max"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_A6_SQL = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2)       AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2)  AS sum_base_price,
+       ROUND(MIN(l_extendedprice), 2)  AS env_min,
+       ROUND(MAX(l_extendedprice), 2)  AS env_max,
+       COUNT(*)                        AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# A9 — grid extents (ref utils_table_recover.py:413-418: max end-index + 1).
+# ---------------------------------------------------------------------------
+def q_a9_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            (F.max("l_linenumber") + 1).cast("int").alias("max_row"),
+            (F.max(F.col("l_suppkey") % 41) + 1).cast("int").alias("max_col"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_A9_SQL = """
+SELECT l_returnflag,
+       CAST(MAX(l_linenumber) + 1 AS INT)    AS max_row,
+       CAST(MAX(l_suppkey % 41) + 1 AS INT)  AS max_col
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# J1 — containment theta-join (ref utils_table_recover.py:378-406), with the
+# small side BROADCAST: region-derived buckets (5 rows) × part-derived boxes.
+# Predicate is the same outside-area-ratio containment as contained_side().
+# At 100 TB the dim side stays O(10³) → broadcast hash join, zero shuffle of
+# the big side.
+# ---------------------------------------------------------------------------
+def q_j1_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    region = _t(spark, sf_dir, "region")
+    boxes = part.select(
+        "p_partkey",
+        (F.col("p_partkey") % 90).cast("double").alias("xmin"),
+        (F.col("p_size") % 40).cast("double").alias("ymin"),
+        ((F.col("p_partkey") % 90) + 8).cast("double").alias("xmax"),
+        ((F.col("p_size") % 40) + 6).cast("double").alias("ymax"),
+    )
+    cells = region.select(
+        "r_regionkey",
+        (F.col("r_regionkey") * 20).cast("double").alias("cx0"),
+        F.lit(0.0).alias("cy0"),
+        (F.col("r_regionkey") * 20 + 22).cast("double").alias("cx1"),
+        F.lit(50.0).alias("cy1"),
+    )
+    inter_w = F.greatest(
+        F.least("xmax", "cx1") - F.greatest("xmin", "cx0"), F.lit(0.0)
+    )
+    inter_h = F.greatest(
+        F.least("ymax", "cy1") - F.greatest("ymin", "cy0"), F.lit(0.0)
+    )
+    box_area = (F.col("xmax") - F.col("xmin")) * (F.col("ymax") - F.col("ymin"))
+    outside_ratio = (box_area - inter_w * inter_h) / box_area
+    joined = boxes.join(
+        F.broadcast(cells),
+        (F.col("xmax") >= F.col("cx0"))
+        & (F.col("xmin") <= F.col("cx1"))
+        & (outside_ratio < 0.4),
+        "inner",
+    )
+    return (
+        joined.groupBy("r_regionkey")
+        .agg(F.count(F.lit(1)).alias("n_contained"))
+        .orderBy("r_regionkey")
+    )
+
+
+_J1_SQL = """
+WITH boxes AS (
+  SELECT p_partkey,
+         CAST(p_partkey % 90 AS DOUBLE)      AS xmin,
+         CAST(p_size % 40 AS DOUBLE)         AS ymin,
+         CAST(p_partkey % 90 + 8 AS DOUBLE)  AS xmax,
+         CAST(p_size % 40 + 6 AS DOUBLE)     AS ymax
+  FROM part
+), cells AS (
+  SELECT r_regionkey,
+         CAST(r_regionkey * 20 AS DOUBLE)      AS cx0,
+         0.0                                    AS cy0,
+         CAST(r_regionkey * 20 + 22 AS DOUBLE) AS cx1,
+         50.0                                   AS cy1
+  FROM region
+)
+SELECT r_regionkey, COUNT(*) AS n_contained
+FROM boxes b JOIN cells c
+  ON b.xmax >= c.cx0 AND b.xmin <= c.cx1
+ AND ((b.xmax - b.xmin) * (b.ymax - b.ymin)
+      - GREATEST(LEAST(b.xmax, c.cx1) - GREATEST(b.xmin, c.cx0), 0)
+      * GREATEST(LEAST(b.ymax, c.cy1) - GREATEST(b.ymin, c.cy0), 0))
+     / ((b.xmax - b.xmin) * (b.ymax - b.ymin)) < 0.4
+GROUP BY r_regionkey
+ORDER BY r_regionkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# D1 — duplicate filtering as a relational op (ref
+# utils_table_recover.py:70-95): exact dedup keep-first on content hash.
+# Shuffles once on the hash; partial agg does the heavy lifting map-side.
+# ---------------------------------------------------------------------------
+def q_d1_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5(F.col("text")).alias("content_hash"))
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            (F.count(F.lit(1)) - 1).alias("n_dupes"),
+        )
+        .orderBy("keep_doc_id")
+    )
+
+
+_D1_SQL = """
+SELECT md5(text) AS content_hash,
+       MIN(doc_id) AS keep_doc_id,
+       COUNT(*) - 1 AS n_dupes
+FROM documents
+GROUP BY md5(text)
+ORDER BY keep_doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# W3 — top-k per group (ref utils_table_lore_rec.py:215-245 find_topk →
+# relational TakeOrderedAndProject / window row_number).
+# ---------------------------------------------------------------------------
+def q_w3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("price"),
+            F.row_number().over(w).cast("int").alias("rk"),
+        )
+        .where(F.col("rk") <= 3)
+        .orderBy("o_custkey", "rk")
+    )
+
+
+_W3_SQL = """
+SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS price, rk
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                 ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rk
+  FROM orders
+)
+WHERE rk <= 3
+ORDER BY o_custkey, rk
+"""
+
+
+# ---------------------------------------------------------------------------
+# P1/P2 — IoU predicates as pure column arithmetic (ref
+# utils_table_recover.py:98-152).
+# ---------------------------------------------------------------------------
+def q_p1_iou(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    a0 = F.col("l_discount")
+    a1 = F.col("l_discount") + 0.05
+    b0 = F.col("l_tax")
+    b1 = F.col("l_tax") + 0.05
+    inter = F.greatest(F.least(a1, b1) - F.greatest(a0, b0), F.lit(0.0))
+    union = F.greatest(a1, b1) - F.least(a0, b0)
+    iou = F.when(union == 0, F.lit(1.0)).otherwise(inter / union)
+    return (
+        li.select("l_returnflag", iou.alias("iou"))
+        .groupBy("l_returnflag")
+        .agg(F.round(F.avg("iou"), 6).alias("avg_iou"), F.count(F.lit(1)).alias("n"))
+        .orderBy("l_returnflag")
+    )
+
+
+_P1_SQL = """
+SELECT l_returnflag,
+       ROUND(AVG(CASE WHEN GREATEST(l_discount + 0.05, l_tax + 0.05)
+                         - LEAST(l_discount, l_tax) = 0 THEN 1.0
+                 ELSE GREATEST(LEAST(l_discount + 0.05, l_tax + 0.05)
+                               - GREATEST(l_discount, l_tax), 0)
+                      / (GREATEST(l_discount + 0.05, l_tax + 0.05)
+                         - LEAST(l_discount, l_tax)) END), 6) AS avg_iou,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# M11 — blank backfill as left join + coalesce (ref
+# lineless_table_rec/main.py:240-253): customers without orders get a
+# placeholder; broadcast-free sort-merge at scale, AQE-coalesced here.
+# ---------------------------------------------------------------------------
+def q_m11_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("spend")
+    )
+    return (
+        cust.join(per_cust, cust.c_custkey == per_cust.o_custkey, "left")
+        .select(
+            "c_custkey",
+            F.coalesce(F.col("spend"), F.lit(0.0)).alias("spend"),
+            F.when(F.col("spend").isNull(), F.lit("blank"))
+            .otherwise(F.lit("filled"))
+            .alias("fill_kind"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+_M11_SQL = """
+SELECT c_custkey,
+       COALESCE(spend, 0.0) AS spend,
+       CASE WHEN spend IS NULL THEN 'blank' ELSE 'filled' END AS fill_kind
+FROM customer
+LEFT JOIN (
+  SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS spend
+  FROM orders GROUP BY o_custkey
+) o ON c_custkey = o_custkey
+ORDER BY c_custkey
+"""
+
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "a1_sessionize": q_a1_sessionize,
+    "w1_reading_order": q_w1_reading_order,
+    "a5_gather": q_a5_gather,
+    "a6_grid_merge": q_a6_grid_merge,
+    "a9_extents": q_a9_extents,
+    "j1_containment_join": q_j1_containment_join,
+    "d1_dedup_exact": q_d1_dedup_exact,
+    "w3_topk": q_w3_topk,
+    "p1_iou": q_p1_iou,
+    "m11_backfill": q_m11_backfill,
+}
+
+ORACLE_SQL: Dict[str, str] = {
+    "a1_sessionize": _A1_SQL,
+    "w1_reading_order": _W1_SQL,
+    "a5_gather": _A5_SQL,
+    "a6_grid_merge": _A6_SQL,
+    "a9_extents": _A9_SQL,
+    "j1_containment_join": _J1_SQL,
+    "d1_dedup_exact": _D1_SQL,
+    "w3_topk": _W3_SQL,
+    "p1_iou": _P1_SQL,
+    "m11_backfill": _M11_SQL,
+}
