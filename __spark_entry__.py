@@ -89,10 +89,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 (+ training-data
     operators).  Every callable takes (spark, sf_dir) → DataFrame with
     columns aliased identically to the oracle SQL."""
-    from tablestructurerec_spark.operators import relational
+    from tablestructurerec_spark.operators import dedup, relational, similarity, textstats
 
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(relational.QUERIES)
+    out.update(textstats.QUERIES)
+    out.update(dedup.QUERIES)
+    out.update(similarity.QUERIES)
 
     def flagship_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ship_package(spark)
@@ -118,9 +121,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from tablestructurerec_spark.operators import relational
+    from tablestructurerec_spark.operators import dedup, relational, similarity, textstats
 
     out = dict(relational.ORACLE_SQL)
+    out.update(textstats.ORACLE_SQL)
+    out.update(dedup.ORACLE_SQL)
+    out.update(similarity.ORACLE_SQL)
     # flagship_extract: the embedded 2x2 metadata table is reconstructed
     # byte-exactly, so the oracle can re-derive pred_html from documents.
     out["flagship_extract"] = """

@@ -87,14 +87,19 @@ def main() -> None:
         spark.stop()
         return
 
-    from tablestructurerec_spark.operators.relational import QUERIES
+    import __spark_entry__ as entry_mod
 
+    queries = {
+        k: v
+        for k, v in entry_mod.queries().items()
+        if k not in ("flagship_extract", "s1_clean_turns")  # timed separately below
+    }
     timings: dict[str, float] = {}
 
     ext_sec, n_turns = _run_extraction(spark, sf)
     timings["flagship_extract"] = round(ext_sec, 3)
 
-    for name, fn in QUERIES.items():
+    for name, fn in queries.items():
         t0 = time.perf_counter()
         _force(fn(spark, SF_DIR))
         timings[name] = round(time.perf_counter() - t0, 3)

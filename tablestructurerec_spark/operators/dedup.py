@@ -1,0 +1,240 @@
+"""Deduplication operators for training-data pipelines over ``documents``.
+
+Exact-hash dedup lives in :mod:`.relational` (d1_dedup_exact).  Here:
+
+* MinHash + LSH banding — shingle → per-seed min-hash → band buckets →
+  bucket self-join → candidate pairs.  The self-join is on the band bucket
+  (tiny groups), never all-pairs: the 100 TB-safe shape.
+* SimHash — per-token hash bit votes → 16-bit signature; identical
+  signatures form dup groups (one shuffle on the signature).
+* N-gram Jaccard — sorted-neighborhood blocking (same source, close length)
+  then exact shingle-set Jaccard on the candidate pairs only.
+
+All pure Catalyst (higher-order array functions; no Python UDFs), each with
+a DuckDB oracle built from the same hash (md5) so values match exactly.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .textstats import _TOKENS_SQL, tokens_col
+
+__all__ = ["QUERIES", "ORACLE_SQL"]
+
+_N_HASHES = 8
+_BAND_ROWS = 2  # 4 bands of 2 rows
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def shingles_col(toks: Column) -> Column:
+    """Word 3-gram shingles; empty array when fewer than 3 tokens.
+
+    Built from three shifted slices zipped together rather than an
+    ``element_at`` lambda: a per-element lambda would inline (and re-evaluate)
+    the whole tokenizer expression once per element — a >100× planner blowup
+    observed at bench time.  Slices evaluate the token array once per row.
+    """
+    n = F.greatest(F.size(toks) - 2, F.lit(0))
+    a = F.slice(toks, 1, n)
+    b = F.slice(toks, 2, n)
+    c = F.slice(toks, 3, n)
+    bc = F.zip_with(b, c, lambda x, y: F.concat_ws(" ", x, y))
+    return F.zip_with(a, bc, lambda x, yz: F.concat_ws(" ", x, yz))
+
+
+_SHINGLES_SQL = (
+    f"list_transform(range(0, greatest(len({_TOKENS_SQL}) - 2, 0)),"
+    f" i -> {_TOKENS_SQL}[i+1] || ' ' || {_TOKENS_SQL}[i+2] || ' ' || {_TOKENS_SQL}[i+3])"
+)
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banded candidate pairs
+# ---------------------------------------------------------------------------
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    sh = shingles_col(tokens_col(F.col("text")))
+
+    def sig(i: int):
+        seed = f"#{i}"
+        # NB: single-arg lambda — a 2-arg transform lambda receives (elem, idx)
+        return F.array_min(F.transform(sh, lambda s: F.md5(F.concat(s, F.lit(seed)))))
+
+    sigs = [sig(i) for i in range(_N_HASHES)]
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band"),
+                F.md5(F.concat_ws("|", sigs[2 * j], sigs[2 * j + 1])).alias("bucket"),
+            )
+            for j in range(_N_HASHES // _BAND_ROWS)
+        ]
+    )
+    banded = (
+        docs.select("doc_id", F.explode(bands).alias("b"))
+        .select("doc_id", F.col("b.band").alias("band"), F.col("b.bucket").alias("bucket"))
+    )
+    pairs = (
+        banded.alias("x")
+        .join(
+            banded.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return pairs.orderBy("doc_a", "doc_b")
+
+
+def _minhash_oracle() -> str:
+    def sig(i: int) -> str:
+        return f"list_min(list_transform(sh, s -> md5(s || '#{i}')))"
+
+    band_selects = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {j} AS band, md5({sig(2 * j)} || '|' || {sig(2 * j + 1)}) AS bucket FROM sh_docs"
+        for j in range(_N_HASHES // _BAND_ROWS)
+    )
+    return f"""
+WITH sh_docs AS (
+  SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents
+), banded AS (
+{band_selects}
+)
+SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+FROM banded x JOIN banded y
+  ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+ORDER BY doc_a, doc_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash signatures + dup-group sizes
+# ---------------------------------------------------------------------------
+_SIM_BITS = 16
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    tok = (
+        docs.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("tok"))
+        .withColumn("h", F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("int"))
+    )
+    votes = [
+        F.sum(((F.floor(F.col("h") / (1 << j)) % 2) * 2 - 1)).alias(f"v{j}")
+        for j in range(_SIM_BITS)
+    ]
+    per_doc = tok.groupBy("doc_id").agg(*votes)
+    simhash = sum(
+        (F.when(F.col(f"v{j}") > 0, 1).otherwise(0) * (1 << j))
+        for j in range(_SIM_BITS)
+    )
+    sigs = per_doc.select("doc_id", simhash.cast("int").alias("simhash"))
+    groups = sigs.groupBy("simhash").agg(F.count(F.lit(1)).alias("group_size"))
+    return (
+        sigs.join(groups, "simhash")
+        .select("doc_id", "simhash", F.col("group_size").cast("int").alias("group_size"))
+        .orderBy("doc_id")
+    )
+
+
+def _simhash_oracle() -> str:
+    votes = ",\n         ".join(
+        f"SUM((CAST(floor(h / {1 << j}) AS INT) % 2) * 2 - 1) AS v{j}"
+        for j in range(_SIM_BITS)
+    )
+    assemble = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN 1 ELSE 0 END) * {1 << j}" for j in range(_SIM_BITS)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(t.tok), 1, 4)) AS INT) AS h
+  FROM documents, UNNEST({_TOKENS_SQL}) AS t(tok)
+), per_doc AS (
+  SELECT doc_id,
+         {votes}
+  FROM tok GROUP BY doc_id
+), sigs AS (
+  SELECT doc_id, CAST({assemble} AS INT) AS simhash FROM per_doc
+)
+SELECT s.doc_id, s.simhash, CAST(g.group_size AS INT) AS group_size
+FROM sigs s JOIN (SELECT simhash, COUNT(*) AS group_size FROM sigs GROUP BY simhash) g
+  USING (simhash)
+ORDER BY s.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# N-gram Jaccard with sorted-neighborhood blocking
+# ---------------------------------------------------------------------------
+_JACCARD_MIN = 0.1
+_LEN_BLOCK = 20
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.array_distinct(shingles_col(tokens_col(F.col("text")))).alias("sh"),
+    )
+    a, b = docs.alias("a"), docs.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.source") == F.col("b.source"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & (F.abs(F.col("a.n_chars") - F.col("b.n_chars")) <= _LEN_BLOCK),
+    )
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
+    jac = F.when(union > 0, inter / union).otherwise(0.0)
+    return (
+        pairs.select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= _JACCARD_MIN)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+_JACCARD_SQL = f"""
+WITH d AS (
+  SELECT doc_id, source, n_chars, list_distinct({_SHINGLES_SQL}) AS sh
+  FROM documents
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         len(list_intersect(a.sh, b.sh)) AS i,
+         len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS u
+  FROM d a JOIN d b
+    ON a.source = b.source AND a.doc_id < b.doc_id
+   AND abs(a.n_chars - b.n_chars) <= {_LEN_BLOCK}
+)
+SELECT doc_a, doc_b,
+       ROUND(CASE WHEN u > 0 THEN i * 1.0 / u ELSE 0.0 END, 6) AS jaccard
+FROM pairs
+WHERE ROUND(CASE WHEN u > 0 THEN i * 1.0 / u ELSE 0.0 END, 6) >= {_JACCARD_MIN}
+ORDER BY doc_a, doc_b
+"""
+
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+}
+
+ORACLE_SQL: Dict[str, str] = {
+    "dedup_minhash_lsh": _minhash_oracle(),
+    "dedup_simhash": _simhash_oracle(),
+    "dedup_ngram_jaccard": _JACCARD_SQL,
+}

@@ -1,0 +1,261 @@
+"""Similarity search over the ``embeddings`` table (array<float> column).
+
+* brute-force cosine top-k — the correctness baseline: broadcast the query
+  vector, one scan, TakeOrderedAndProject.  At 100 TB this is the
+  one-query-vector case; the dot product is a sequential ``zip_with`` +
+  ``aggregate`` in doubles (JVM codegen, no Python).
+* sign-LSH bucketed top-k — the scale path: hash every vector to a bucket by
+  the sign pattern of dot products with deterministic pseudo-hyperplanes;
+  candidates = query's bucket only.  Oracle reproduces the identical
+  hyperplanes, so results match exactly.
+* embedding cosine near-dup pairs — sorted-neighborhood blocking by label +
+  vec_id window, exact cosine on candidates (the embedding face of dedup).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+__all__ = ["QUERIES", "ORACLE_SQL"]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+_DOT_SQL = "list_sum(list_transform(list_zip({a}, {b}), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+_NORM_SQL = "sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"{_DOT_SQL.format(a=a, b=b)} / "
+        f"({_NORM_SQL.format(a=a)} * {_NORM_SQL.format(a=b)})"
+    )
+
+
+_TOPK = 10
+
+
+# ---------------------------------------------------------------------------
+# brute-force cosine top-k against the vec_id=0 query vector
+# ---------------------------------------------------------------------------
+def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    scored = (
+        emb.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            "label",
+            F.round(
+                _dot(F.col("embedding"), F.col("qv"))
+                / (_norm(F.col("embedding")) * _norm(F.col("qv"))),
+                6,
+            ).alias("cos"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(_TOPK)
+        .select(
+            "vec_id",
+            "label",
+            "cos",
+            F.row_number()
+            .over(Window.orderBy(F.desc("cos"), F.asc("vec_id")))
+            .cast("int")
+            .alias("rk"),
+        )
+        .orderBy("rk")
+    )
+
+
+_ANN_BRUTE_SQL = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT vec_id, label,
+         ROUND({_cos_sql('embedding', 'qv')}, 6) AS cos
+  FROM embeddings, q
+  WHERE vec_id <> 0
+)
+SELECT vec_id, label, cos,
+       CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id ASC) AS INT) AS rk
+FROM scored
+ORDER BY cos DESC, vec_id ASC
+LIMIT {_TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
+# sign-LSH bucketed top-k (the IVF/LSH scale path)
+# ---------------------------------------------------------------------------
+_N_PLANES = 4
+_DIM = 64
+
+
+def _plane_weight(p: int, d: int) -> float:
+    """Deterministic pseudo-hyperplane weights in [-1, 1): a fixed LCG on
+    (plane, dim) — identical arithmetic in SQL below."""
+    v = (1103515245 * (p * _DIM + d) + 12345) % 65536
+    return v / 32768.0 - 1.0
+
+
+def q_ann_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+
+    def bucket_bits(col: Column) -> Column:
+        bits = []
+        for p in range(_N_PLANES):
+            proj = F.aggregate(
+                F.zip_with(
+                    col,
+                    F.array(*[F.lit(_plane_weight(p, d)) for d in range(_DIM)]),
+                    lambda x, w: x.cast("double") * w,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            bits.append(F.when(proj >= 0, 1).otherwise(0) * (1 << p))
+        return sum(bits).cast("int")
+
+    bucketed = emb.select("vec_id", "label", "embedding", bucket_bits(F.col("embedding")).alias("bucket"))
+    qrow = bucketed.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv"), F.col("bucket").alias("qbucket")
+    )
+    scored = (
+        bucketed.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qrow))
+        .where(F.col("bucket") == F.col("qbucket"))
+        .select(
+            "vec_id",
+            "label",
+            "bucket",
+            F.round(
+                _dot(F.col("embedding"), F.col("qv"))
+                / (_norm(F.col("embedding")) * _norm(F.col("qv"))),
+                6,
+            ).alias("cos"),
+        )
+    )
+    w = Window.orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(_TOPK)
+        .select("vec_id", "label", "bucket", "cos", F.row_number().over(w).cast("int").alias("rk"))
+        .orderBy("rk")
+    )
+
+
+def _plane_sql(p: int) -> str:
+    # identical LCG arithmetic; i is the 1-based list index → d = i-1
+    return (
+        "list_sum(list_transform(range(1, {dim}+1), i -> "
+        "CAST(embedding[i] AS DOUBLE) * "
+        "(((1103515245 * (({p}) * {dim} + (i - 1)) + 12345) % 65536) / 32768.0 - 1.0)"
+        "))"
+    ).format(p=p, dim=_DIM)
+
+
+def _lsh_oracle() -> str:
+    bits = " + ".join(
+        f"(CASE WHEN {_plane_sql(p)} >= 0 THEN 1 ELSE 0 END) * {1 << p}"
+        for p in range(_N_PLANES)
+    )
+    return f"""
+WITH bucketed AS (
+  SELECT vec_id, label, embedding, CAST({bits} AS INT) AS bucket
+  FROM embeddings
+), q AS (
+  SELECT embedding AS qv, bucket AS qbucket FROM bucketed WHERE vec_id = 0
+), scored AS (
+  SELECT b.vec_id, b.label, b.bucket,
+         ROUND({_cos_sql('b.embedding', 'qv')}, 6) AS cos
+  FROM bucketed b, q
+  WHERE b.vec_id <> 0 AND b.bucket = q.qbucket
+)
+SELECT vec_id, label, bucket, cos,
+       CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id ASC) AS INT) AS rk
+FROM scored
+ORDER BY cos DESC, vec_id ASC
+LIMIT {_TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup candidate pairs (blocked)
+# ---------------------------------------------------------------------------
+_PAIR_WINDOW = 40
+_COS_MIN = 0.3
+
+
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    a, b = emb.alias("a"), emb.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.label") == F.col("b.label"))
+        & (F.col("b.vec_id") > F.col("a.vec_id"))
+        & (F.col("b.vec_id") <= F.col("a.vec_id") + _PAIR_WINDOW),
+    )
+    cos = F.round(
+        _dot(F.col("a.embedding"), F.col("b.embedding"))
+        / (_norm(F.col("a.embedding")) * _norm(F.col("b.embedding"))),
+        6,
+    )
+    return (
+        pairs.select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.label").alias("label"),
+            cos.alias("cos"),
+        )
+        .where(F.col("cos") >= _COS_MIN)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+_EMB_PAIRS_SQL = f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+       ROUND({_cos_sql('a.embedding', 'b.embedding')}, 6) AS cos
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label
+ AND b.vec_id > a.vec_id AND b.vec_id <= a.vec_id + {_PAIR_WINDOW}
+WHERE ROUND({_cos_sql('a.embedding', 'b.embedding')}, 6) >= {_COS_MIN}
+ORDER BY vec_a, vec_b
+"""
+
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "ann_bruteforce_topk": q_ann_bruteforce,
+    "ann_lsh_bucket_topk": q_ann_lsh_bucket,
+    "dedup_embedding_cosine": q_dedup_embedding_cosine,
+}
+
+ORACLE_SQL: Dict[str, str] = {
+    "ann_bruteforce_topk": _ANN_BRUTE_SQL,
+    "ann_lsh_bucket_topk": _lsh_oracle(),
+    "dedup_embedding_cosine": _EMB_PAIRS_SQL,
+}

@@ -1,0 +1,223 @@
+"""Text-analysis operators for training-data pipelines over ``documents``.
+
+Language-ID (marker n-gram heuristic), quality scoring, token counting, and
+rolling-hash fingerprinting — all pure Catalyst column expressions (no
+Python), each with an ANSI-SQL DuckDB oracle.  These are the graft's
+large-scale corpus-hygiene operators; at 100 TB each is a single
+scan+project (no shuffle except the final presentation sort).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["QUERIES", "ORACLE_SQL", "tokens_col"]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def tokens_col(text: Column) -> Column:
+    """Lowercased alnum tokens; mirrors the oracle's tokenizer exactly."""
+    return F.filter(
+        F.split(F.regexp_replace(F.lower(text), "[^a-z0-9]+", " "), " "),
+        lambda x: x != "",
+    )
+
+
+_TOKENS_SQL = (
+    "list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'),"
+    " ' '), x -> x <> '')"
+)
+
+
+# ---------------------------------------------------------------------------
+# token counting
+# ---------------------------------------------------------------------------
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("int").alias("n_tokens"),
+        F.length("text").cast("int").alias("n_chars_actual"),
+        F.size(F.array_distinct(toks)).cast("int").alias("n_unique_tokens"),
+    ).orderBy("doc_id")
+
+
+_TOKEN_COUNT_SQL = f"""
+SELECT doc_id,
+       CAST(len({_TOKENS_SQL}) AS INT) AS n_tokens,
+       CAST(length(text) AS INT) AS n_chars_actual,
+       CAST(len(list_distinct({_TOKENS_SQL})) AS INT) AS n_unique_tokens
+FROM documents
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# language ID — marker-word heuristic (n-gram language cues)
+# ---------------------------------------------------------------------------
+_MARKERS = {
+    "en": "(the|a|of|and|is)",
+    "es": "(el|la|de|los|es)",
+    "zh": "(ma|de|le|shi|bu)",
+}
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    low = F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")
+    hits = {
+        lang: F.size(F.regexp_extract_all(low, F.lit(rf"\b{pat}\b"), F.lit(0))).cast("int")
+        for lang, pat in _MARKERS.items()
+    }
+    pred = (
+        F.when(
+            (hits["en"] >= hits["es"]) & (hits["en"] >= hits["zh"]), F.lit("en")
+        )
+        .when(hits["es"] >= hits["zh"], F.lit("es"))
+        .otherwise(F.lit("zh"))
+    )
+    return docs.select(
+        "doc_id",
+        hits["en"].alias("en_hits"),
+        hits["es"].alias("es_hits"),
+        hits["zh"].alias("zh_hits"),
+        pred.alias("pred_lang"),
+    ).orderBy("doc_id")
+
+
+def _hits_sql(pat: str) -> str:
+    return (
+        "CAST(len(regexp_extract_all(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'),"
+        f" '\\b{pat}\\b')) AS INT)"
+    )
+
+
+_LANG_ID_SQL = f"""
+SELECT doc_id,
+       {_hits_sql(_MARKERS['en'])} AS en_hits,
+       {_hits_sql(_MARKERS['es'])} AS es_hits,
+       {_hits_sql(_MARKERS['zh'])} AS zh_hits,
+       CASE WHEN {_hits_sql(_MARKERS['en'])} >= {_hits_sql(_MARKERS['es'])}
+             AND {_hits_sql(_MARKERS['en'])} >= {_hits_sql(_MARKERS['zh'])} THEN 'en'
+            WHEN {_hits_sql(_MARKERS['es'])} >= {_hits_sql(_MARKERS['zh'])} THEN 'es'
+            ELSE 'zh' END AS pred_lang
+FROM documents
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# quality scoring — length / punctuation / stopword / repetition cues
+# ---------------------------------------------------------------------------
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    n_tok = F.size(toks)
+    n_chars = F.length("text")
+    uniq_ratio = F.when(n_tok > 0, F.size(F.array_distinct(toks)) / n_tok).otherwise(0.0)
+    punct_ratio = F.when(
+        n_chars > 0,
+        F.size(F.regexp_extract_all("text", F.lit(r"[^\w\s]"), F.lit(0))) / n_chars,
+    ).otherwise(0.0)
+    stop_ratio = F.when(
+        n_tok > 0,
+        F.size(F.filter(toks, lambda x: x.isin("the", "a", "of", "and", "is"))) / n_tok,
+    ).otherwise(0.0)
+    mean_len = F.when(n_tok > 0, F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x)) / n_tok).otherwise(0.0)
+    score = (
+        F.least(n_tok / 100.0, F.lit(1.0)) * 0.4
+        + uniq_ratio * 0.3
+        + (1.0 - F.least(punct_ratio * 10.0, F.lit(1.0))) * 0.2
+        + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.1
+    )
+    return docs.select(
+        "doc_id",
+        F.round(uniq_ratio, 6).alias("uniq_ratio"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(mean_len, 6).alias("mean_token_len"),
+        F.round(score, 6).alias("quality"),
+    ).orderBy("doc_id")
+
+
+_QUALITY_SQL = f"""
+WITH base AS (
+  SELECT doc_id, text, {_TOKENS_SQL} AS toks, length(text) AS n_chars
+  FROM documents
+), stats AS (
+  SELECT doc_id,
+         len(toks) AS n_tok,
+         CASE WHEN len(toks) > 0 THEN len(list_distinct(toks)) * 1.0 / len(toks) ELSE 0.0 END AS uniq_ratio,
+         CASE WHEN n_chars > 0
+              THEN len(regexp_extract_all(text, '[^\\w\\s]')) * 1.0 / n_chars ELSE 0.0 END AS punct_ratio,
+         CASE WHEN len(toks) > 0
+              THEN len(list_filter(toks, x -> x IN ('the','a','of','and','is'))) * 1.0 / len(toks)
+              ELSE 0.0 END AS stop_ratio,
+         CASE WHEN len(toks) > 0
+              THEN list_sum(list_transform(toks, x -> length(x))) * 1.0 / len(toks)
+              ELSE 0.0 END AS mean_token_len
+  FROM base
+)
+SELECT doc_id,
+       ROUND(uniq_ratio, 6) AS uniq_ratio,
+       ROUND(stop_ratio, 6) AS stop_ratio,
+       ROUND(mean_token_len, 6) AS mean_token_len,
+       ROUND(LEAST(n_tok / 100.0, 1.0) * 0.4
+             + uniq_ratio * 0.3
+             + (1.0 - LEAST(punct_ratio * 10.0, 1.0)) * 0.2
+             + LEAST(stop_ratio * 5.0, 1.0) * 0.1, 6) AS quality
+FROM stats
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# document fingerprint — min rolling-window hash (winnowing-style)
+# ---------------------------------------------------------------------------
+_WIN, _STRIDE = 16, 8
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    n_win = F.floor((F.length("text") - _WIN) / _STRIDE).cast("int")
+    windows = F.transform(
+        F.sequence(F.lit(0), n_win),
+        lambda i: F.md5(F.substring(F.col("text"), F.lit(1) + i * _STRIDE, _WIN)),
+    )
+    fp = F.when(F.length("text") >= _WIN, F.array_min(windows)).otherwise(
+        F.md5(F.col("text"))
+    )
+    return docs.select("doc_id", fp.alias("fingerprint")).orderBy("doc_id")
+
+
+_FINGERPRINT_SQL = f"""
+SELECT doc_id,
+       CASE WHEN length(text) >= {_WIN}
+            THEN list_min(list_transform(
+                   range(0, CAST(floor((length(text) - {_WIN}) * 1.0 / {_STRIDE}) AS INT) + 1),
+                   i -> md5(substr(text, 1 + i * {_STRIDE}, {_WIN}))))
+            ELSE md5(text) END AS fingerprint
+FROM documents
+ORDER BY doc_id
+"""
+
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "t_token_count": q_token_count,
+    "t_lang_id": q_lang_id,
+    "t_quality_score": q_quality_score,
+    "t_fingerprint": q_fingerprint,
+}
+
+ORACLE_SQL: Dict[str, str] = {
+    "t_token_count": _TOKEN_COUNT_SQL,
+    "t_lang_id": _LANG_ID_SQL,
+    "t_quality_score": _QUALITY_SQL,
+    "t_fingerprint": _FINGERPRINT_SQL,
+}
