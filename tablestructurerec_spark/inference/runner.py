@@ -1,0 +1,153 @@
+"""Batched structure-model inference as a Spark stage.
+
+Pattern (ref OrtInferSession, lineless_table_rec/utils/utils.py:33-224 +
+TSRLore, table_structure_lore.py): ONE model session per executor python
+worker, created lazily inside the UDF closure and cached at process level;
+inputs batched per Arrow record batch; all decode math vectorized
+(:mod:`.decode`).  No per-row Python at the Spark plan level.
+
+Backends:
+* ``onnx``  — real ONNXRuntime session (guarded import; this container has no
+  onnxruntime or model weights, so constructing it raises with instructions —
+  the Spark plumbing is identical either way).
+* ``stub``  — deterministic fake: the payload bytes carry a JSON spec of the
+  table's logical grid; the stub builds model HEADS (hm/wh/ax/cr/reg) whose
+  decode through the real math reproduces that grid.  This makes the full
+  M1→M4 path (heads → peak NMS → topk → gather → unwarp → snap/round)
+  testable end-to-end without weights.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Dict, Iterator, Tuple
+
+import numpy as np
+import pandas as pd
+
+from ..core.lore_post import snap_and_round_logic
+from .decode import decode_quads, select_detections, unwarp_coords
+
+__all__ = ["StubBackend", "OnnxBackend", "get_backend", "structure_infer", "INFER_SCHEMA"]
+
+_FEAT_H = _FEAT_W = 192  # 768 / 4, ref table_structure_lore.py:16-17 + meta
+_SPAN = 768.0
+_CELL_W, _CELL_H = 30.0, 10.0  # feature-space cell size used by the stub
+
+
+def _logit(p: float) -> float:
+    return float(np.log(p / (1.0 - p)))
+
+
+class StubBackend:
+    """Deterministic heads generator (see module docstring)."""
+
+    name = "stub"
+
+    def __call__(self, payload: bytes) -> Dict[str, np.ndarray]:
+        spec = json.loads(payload.decode("utf-8"))
+        logic = spec["logic_points"]
+        h, w = _FEAT_H, _FEAT_W
+        heads = {
+            "hm": np.full((1, 2, h, w), -12.0, dtype=np.float64),
+            "wh": np.zeros((1, 8, h, w), dtype=np.float64),
+            "ax": np.zeros((1, 4, h, w), dtype=np.float64),
+            "cr": np.zeros((1, 4, h, w), dtype=np.float64),
+            "reg": np.zeros((1, 2, h, w), dtype=np.float64),
+        }
+        for i, (r0, r1, c0, c1) in enumerate(logic):
+            x0, x1 = c0 * _CELL_W, (c1 + 1) * _CELL_W
+            y0, y1 = r0 * _CELL_H, (r1 + 1) * _CELL_H
+            cx, cy = int((x0 + x1) / 2), int((y0 + y1) / 2)
+            heads["hm"][0, 0, cy, cx] = _logit(0.9 - 0.0001 * i)
+            # the decode's ys = flat_ind / width is FLOAT division (reference
+            # quirk, ref utils_table_lore_rec.py:201) leaving an x/width
+            # residue on y; a trained reg head absorbs it — so does the stub
+            heads["reg"][0, 1, cy, cx] = -cx / w
+            # wh = center − corner for the 4 corners (tl, tr, br, bl)
+            corners = [(x0, y0), (x1, y0), (x1, y1), (x0, y1)]
+            for ci, (px, py) in enumerate(corners):
+                heads["wh"][0, 2 * ci, cy, cx] = cx - px
+                heads["wh"][0, 2 * ci + 1, cy, cx] = cy - py
+            heads["ax"][0, :, cy, cx] = [r0, r1, c0, c1]
+        return heads
+
+
+class OnnxBackend:
+    """Real ONNXRuntime detect-head session (unavailable in this sandbox)."""
+
+    name = "onnx"
+
+    def __init__(self, model_path: str):
+        try:
+            import onnxruntime as ort  # noqa: F401
+        except ImportError as exc:  # pragma: no cover - no ort in container
+            raise NotImplementedError(
+                "onnxruntime is not installed in this environment; distribute "
+                "the wheel + model via --py-files/--files and this backend "
+                "becomes a per-worker ort.InferenceSession over the same "
+                "decode path."
+            ) from exc
+        import onnxruntime as ort
+
+        opts = ort.SessionOptions()
+        opts.graph_optimization_level = ort.GraphOptimizationLevel.ORT_ENABLE_ALL
+        self._sess = ort.InferenceSession(model_path, sess_options=opts)
+
+    def __call__(self, payload: bytes) -> Dict[str, np.ndarray]:  # pragma: no cover
+        img = np.frombuffer(payload, dtype=np.uint8)
+        raise NotImplementedError("image preprocessing requires cv2 (absent here)")
+
+
+_BACKEND_CACHE: Dict[Tuple[str, str], object] = {}
+
+
+def get_backend(name: str = "stub", model_path: str = "") -> object:
+    """Per-process backend singleton (the executor-side session cache)."""
+    key = (name, model_path)
+    if key not in _BACKEND_CACHE:
+        _BACKEND_CACHE[key] = StubBackend() if name == "stub" else OnnxBackend(model_path)
+    return _BACKEND_CACHE[key]
+
+
+INFER_SCHEMA = (
+    "conv_id string, turn_idx int, table_idx int, "
+    "cell_quads array<array<double>>, logic_points array<array<int>>, "
+    "n_cells int, mean_score double"
+)
+
+
+def structure_infer(df, backend: str = "stub", model_path: str = ""):
+    """DataFrame(conv_id, turn_idx, table_idx, payload:binary) → structures.
+
+    One Arrow-batched ``mapInPandas`` stage; the backend session is created
+    once per python worker (closure + process cache), amortized over every
+    batch that worker processes.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        model = get_backend(backend, model_path)  # per-worker singleton
+        for pdf in batches:
+            out = {k: [] for k in (
+                "conv_id", "turn_idx", "table_idx",
+                "cell_quads", "logic_points", "n_cells", "mean_score",
+            )}
+            for conv_id, turn_idx, table_idx, payload in zip(
+                pdf["conv_id"], pdf["turn_idx"], pdf["table_idx"], pdf["payload"]
+            ):
+                heads = model(bytes(payload))
+                dets, logic_feat = decode_quads(heads, k=3000)
+                quads, feat, scores = select_detections(dets, logic_feat)
+                quads = unwarp_coords(quads, _SPAN, _FEAT_W, _FEAT_H)
+                logic = snap_and_round_logic(feat)
+                out["conv_id"].append(conv_id)
+                out["turn_idx"].append(int(turn_idx))
+                out["table_idx"].append(int(table_idx))
+                out["cell_quads"].append(quads.reshape(-1, 8).tolist())
+                out["logic_points"].append(logic.tolist())
+                out["n_cells"].append(len(logic))
+                out["mean_score"].append(float(scores.mean()) if len(scores) else 0.0)
+            yield pd.DataFrame(out)
+
+    src = df.select("conv_id", "turn_idx", "table_idx", "payload")
+    return src.mapInPandas(run, schema=INFER_SCHEMA)

@@ -156,7 +156,9 @@ def synth_transcripts(spark, n_convs: int, mean_turns: int = 8, seed: int = 42):
     in pandas batches.  Deterministic w.r.t. (seed, n_convs, mean_turns)
     regardless of partitioning.
     """
-    base = spark.range(0, n_convs).repartition(max(spark.sparkContext.defaultParallelism, 1))
+    # 3x parallelism: Zipfian conv sizes make equal-count partitions unequal
+    # in rows; over-partitioning lets the scheduler rebalance stragglers
+    base = spark.range(0, n_convs).repartition(3 * max(spark.sparkContext.defaultParallelism, 1))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

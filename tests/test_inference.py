@@ -1,0 +1,84 @@
+"""Decode math + batched inference stage tests.
+
+The decode functions were cross-validated offline against the reference's
+ctdet_4ps_decode (utils_table_lore_rec.py:96-157) on random heads — bit-level
+allclose; these committed tests pin behavior on constructed heads with known
+answers and drive the full Spark stage through the stub backend.
+"""
+
+import json
+
+import numpy as np
+import pytest
+
+from tablestructurerec_spark.inference.decode import (
+    decode_quads,
+    peak_nms,
+    select_detections,
+    sigmoid,
+    topk,
+    two_stage_topk,
+    unwarp_coords,
+)
+from tablestructurerec_spark.inference.runner import StubBackend
+from tablestructurerec_spark.core.lore_post import snap_and_round_logic
+
+
+def test_topk_sorted_desc():
+    vals, idx = topk(np.array([[3.0, 9.0, 1.0, 7.0, 5.0]]), 3)
+    assert vals.tolist() == [[9.0, 7.0, 5.0]]
+    assert idx.tolist() == [[1, 3, 4]]
+
+
+def test_peak_nms_suppresses_non_maxima():
+    h = np.zeros((1, 1, 5, 5))
+    h[0, 0, 2, 2] = 1.0
+    h[0, 0, 2, 3] = 0.6  # adjacent, smaller → suppressed
+    h[0, 0, 0, 0] = 0.4  # isolated corner → kept
+    out = peak_nms(h)
+    assert out[0, 0, 2, 2] == 1.0 and out[0, 0, 2, 3] == 0.0 and out[0, 0, 0, 0] == 0.4
+
+
+def test_two_stage_topk_coords():
+    h = np.zeros((1, 1, 8, 8))
+    h[0, 0, 3, 5] = 0.9
+    h[0, 0, 6, 1] = 0.8
+    scores, inds, clses, ys, xs = two_stage_topk(h, 2)
+    assert xs[0].tolist() == [5.0, 1.0]
+    assert [int(y) for y in ys[0]] == [3, 6]
+
+
+def test_stub_roundtrip_through_real_decode():
+    logic = [[0, 0, 0, 0], [0, 0, 1, 2], [1, 1, 0, 1], [1, 1, 2, 2]]
+    heads = StubBackend()(json.dumps({"logic_points": logic}).encode())
+    dets, feat = decode_quads(heads, k=3000)
+    quads, logic_feat, scores = select_detections(dets, feat)
+    assert len(quads) == len(logic)
+    assert snap_and_round_logic(logic_feat).tolist() == logic
+    assert np.all(scores >= 0.85)
+    # quads are the stub's feature-space cells; unwarp scales by 768/192 = 4
+    img_quads = unwarp_coords(quads, 768.0, 192, 192)
+    assert img_quads[0][0].tolist() == [0.0, 0.0]
+    assert img_quads[0][2].tolist() == [30.0 * 4, 10.0 * 4]
+
+
+@pytest.mark.usefixtures("spark")
+def test_structure_infer_stage(spark):
+    from tablestructurerec_spark.inference.runner import structure_infer
+
+    rows = []
+    specs = {}
+    for i, logic in enumerate(
+        [[[0, 0, 0, 0]], [[0, 0, 0, 1], [1, 1, 0, 0], [1, 1, 1, 1]]]
+    ):
+        payload = json.dumps({"logic_points": logic}).encode()
+        rows.append((f"c{i}", i, 0, bytearray(payload)))
+        specs[(f"c{i}", i)] = logic
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, table_idx int, payload binary"
+    )
+    out = {(r.conv_id, r.turn_idx): r for r in structure_infer(df).collect()}
+    for key, logic in specs.items():
+        assert out[key].logic_points == logic
+        assert out[key].n_cells == len(logic)
+        assert out[key].mean_score > 0.85
