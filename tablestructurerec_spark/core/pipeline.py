@@ -75,6 +75,24 @@ def classify_table_kind(logic_points: List[List[int]]) -> str:
     return "wired"
 
 
+def _classify_and_recover(logic_points: List[List[int]]):
+    """(kind, recovered logic or None) — recover computed at most once."""
+    if not logic_points:
+        return "wireless", None
+    n_rows = max(lp[1] for lp in logic_points) + 1
+    n_cols = max(lp[3] for lp in logic_points) + 1
+    if (
+        len({lp[0] for lp in logic_points}) < n_rows
+        or len({lp[2] for lp in logic_points}) < n_cols
+    ):
+        return "wireless", None
+    quads = np.asarray(quads_from_logic_points(logic_points), dtype=float)
+    recovered = recover_logic_points(quads)
+    if recovered.tolist() != [list(map(int, lp)) for lp in logic_points]:
+        return "wireless", None
+    return "wired", recovered
+
+
 def synth_ocr_fragments(
     quads: List[List[List[float]]], cell_texts: List[List[str]]
 ) -> List[list]:
@@ -160,9 +178,9 @@ def process_table_html(
 
     # detector stand-in: ccw physical quads from the logical grid
     ccw_quads = quads_from_logic_points(parsed_logic)
-    kind = classify_table_kind(parsed_logic)
+    kind, recovered = _classify_and_recover(parsed_logic)
     if kind == "wired":
-        logic = recover_logic_points(np.asarray(ccw_quads, dtype=float))
+        logic = recovered
     else:
         logic = _lore_logic_standin(parsed_logic, table_seed)
 
