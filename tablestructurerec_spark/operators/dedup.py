@@ -59,13 +59,21 @@ _SHINGLES_SQL = (
 # MinHash + LSH banded candidate pairs
 # ---------------------------------------------------------------------------
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    sh = shingles_col(tokens_col(F.col("text")))
+    # exchange barrier right after shingling: the 8 signature expressions
+    # below would otherwise each re-inline (and re-execute) the tokenizer +
+    # shingler per document — measured 5x slower without the barrier
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", shingles_col(tokens_col(F.col("text"))).alias("sh"))
+        .repartition("doc_id")
+    )
 
     def sig(i: int):
         seed = f"#{i}"
         # NB: single-arg lambda — a 2-arg transform lambda receives (elem, idx)
-        return F.array_min(F.transform(sh, lambda s: F.md5(F.concat(s, F.lit(seed)))))
+        return F.array_min(
+            F.transform(F.col("sh"), lambda s: F.md5(F.concat(s, F.lit(seed))))
+        )
 
     sigs = [sig(i) for i in range(_N_HASHES)]
     bands = F.array(
@@ -80,6 +88,11 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded = (
         docs.select("doc_id", F.explode(bands).alias("b"))
         .select("doc_id", F.col("b.band").alias("band"), F.col("b.bucket").alias("bucket"))
+        # exchange barrier: materialize the signatures ONCE per row before the
+        # self-join — otherwise Catalyst inlines the whole shingle+md5 tree
+        # into both join sides and recomputes it per candidate pair.  The
+        # hash partitioning also matches the join keys, so the join reuses it.
+        .repartition("band", "bucket")
     )
     pairs = (
         banded.alias("x")
@@ -180,16 +193,28 @@ _LEN_BLOCK = 20
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id",
-        "source",
-        "n_chars",
-        F.array_distinct(shingles_col(tokens_col(F.col("text")))).alias("sh"),
+    # blocking key = (source, length bucket): each doc lands in its bucket
+    # and the next one, so every |Δn_chars| ≤ _LEN_BLOCK pair shares a
+    # bucket — the join enumerates ~Δ/len_range of the same-source pairs
+    # instead of all of them.  Exchange barrier materializes the shingle
+    # sets once per doc (not once per candidate pair).
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.array_distinct(shingles_col(tokens_col(F.col("text")))).alias("sh"),
+            F.floor(F.col("n_chars") / _LEN_BLOCK).cast("long").alias("blk"),
+        )
+        .withColumn("blk", F.explode(F.array(F.col("blk"), F.col("blk") + 1)))
+        .repartition("source", "blk")
     )
     a, b = docs.alias("a"), docs.alias("b")
     pairs = a.join(
         b,
         (F.col("a.source") == F.col("b.source"))
+        & (F.col("a.blk") == F.col("b.blk"))
         & (F.col("a.doc_id") < F.col("b.doc_id"))
         & (F.abs(F.col("a.n_chars") - F.col("b.n_chars")) <= _LEN_BLOCK),
     )
@@ -203,6 +228,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(jac, 6).alias("jaccard"),
         )
         .where(F.col("jaccard") >= _JACCARD_MIN)
+        .distinct()
         .orderBy("doc_a", "doc_b")
     )
 

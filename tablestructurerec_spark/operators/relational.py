@@ -422,6 +422,49 @@ ORDER BY c_custkey
 """
 
 
+# ---------------------------------------------------------------------------
+# Salted two-stage aggregation — the explicit skew pattern for Zipfian
+# conversation sizes (SURVEY.md §4): partial-aggregate on (salt, key) first,
+# then merge per key.  With a hot key holding 10^7 rows, stage 1 spreads it
+# over 16 reducers; stage 2 merges 16 rows.  Results are identical to the
+# plain groupBy the oracle runs.
+# ---------------------------------------------------------------------------
+_N_SALT = 16
+
+
+def q_salted_conv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    salt = F.pmod(F.xxhash64("event_id"), F.lit(_N_SALT))
+    partial = (
+        ev.groupBy(salt.alias("salt"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("pc"),
+            F.sum("value").alias("pv"),
+            F.max("value").alias("pm"),
+        )
+    )
+    return (
+        partial.groupBy("user_id")
+        .agg(
+            F.sum("pc").cast("long").alias("n_events"),
+            F.round(F.sum("pv"), 2).alias("sum_value"),
+            F.round(F.max("pm"), 2).alias("max_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_SALTED_SQL = """
+SELECT user_id,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS sum_value,
+       ROUND(MAX(value), 2) AS max_value
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a1_sessionize": q_a1_sessionize,
     "w1_reading_order": q_w1_reading_order,
@@ -433,6 +476,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "w3_topk": q_w3_topk,
     "p1_iou": q_p1_iou,
     "m11_backfill": q_m11_backfill,
+    "a10_salted_agg": q_salted_conv_stats,
 }
 
 ORACLE_SQL: Dict[str, str] = {
@@ -446,4 +490,5 @@ ORACLE_SQL: Dict[str, str] = {
     "w3_topk": _W3_SQL,
     "p1_iou": _P1_SQL,
     "m11_backfill": _M11_SQL,
+    "a10_salted_agg": _SALTED_SQL,
 }

@@ -212,7 +212,13 @@ _COS_MIN = 0.3
 
 
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings")
+    # precompute norms once per vector, behind an exchange barrier on the
+    # join key — only the O(dim) dot product remains per candidate pair
+    emb = (
+        _t(spark, sf_dir, "embeddings")
+        .select("vec_id", "label", "embedding", _norm(F.col("embedding")).alias("nrm"))
+        .repartition("label")
+    )
     a, b = emb.alias("a"), emb.alias("b")
     pairs = a.join(
         b,
@@ -221,8 +227,7 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("b.vec_id") <= F.col("a.vec_id") + _PAIR_WINDOW),
     )
     cos = F.round(
-        _dot(F.col("a.embedding"), F.col("b.embedding"))
-        / (_norm(F.col("a.embedding")) * _norm(F.col("b.embedding"))),
+        _dot(F.col("a.embedding"), F.col("b.embedding")) / (F.col("a.nrm") * F.col("b.nrm")),
         6,
     )
     return (

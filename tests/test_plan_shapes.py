@@ -1,0 +1,67 @@
+"""Physical-plan shape assertions: the optimizations SCALING.md claims.
+
+These read `.explain` output so a regression that silently de-optimizes a
+plan (lost broadcast, lost pushdown, Python stage sneaking into a native
+query) fails loudly.
+"""
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_containment_join_broadcasts_dim(spark):
+    from tablestructurerec_spark.operators.relational import q_j1_containment_join
+
+    plan = _plan(q_j1_containment_join(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_relational_queries_have_no_python_stage(spark):
+    from tablestructurerec_spark.operators import dedup, relational, similarity, textstats
+
+    for mod in (relational, textstats, dedup, similarity):
+        for name, fn in mod.QUERIES.items():
+            plan = _plan(fn(spark, SF))
+            assert "EvalPython" not in plan and "MapInPandas" not in plan, name
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .where(F.col("l_quantity") > 30)
+        .select("l_orderkey", "l_quantity")
+    )
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30" in plan
+    # column pruning: ReadSchema carries only the 2 projected columns
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan
+
+
+def test_salted_agg_is_two_stage(spark):
+    from tablestructurerec_spark.operators.relational import q_salted_conv_stats
+
+    plan = _plan(q_salted_conv_stats(spark, SF))
+    # two distinct hash aggregates with an exchange between them
+    assert plan.count("HashAggregate") >= 4  # partial+final for each stage
+    assert "xxhash64" in plan.lower()
+
+
+def test_extract_tables_projects_before_udf(spark):
+    from tablestructurerec_spark.plans.extract import extract_tables
+    from tablestructurerec_spark.sources.synthetic import synth_transcripts
+
+    df = synth_transcripts(spark, 4, 3, 1)
+    plan = _plan(extract_tables(df))
+    # the UDF's child must carry only the 3 needed columns
+    import re
+
+    m = re.search(r"MapInPandas .*?#\d+", plan)
+    assert m is not None
+    assert "role" not in plan.split("MapInPandas")[1].split("\n")[0]
