@@ -249,17 +249,36 @@ def match_ocr_to_cells(ocr_rows: list, cell_quads) -> Tuple[dict, list]:
     """
     matched: dict = {}
     unmatched: list = []
-    for rec in ocr_rows:
-        quad = rec[0]
-        obox = (quad[0][0], quad[0][1], quad[2][0], quad[2][1])
-        hit = False
-        for j, cell in enumerate(cell_quads):
-            cbox = (cell[0][0], cell[0][1], cell[2][0], cell[2][1])
-            if contained_side(obox, cbox, 0.6) == 1 or box_iou(obox, cbox) > 0.8:
-                matched.setdefault(j, []).append(rec)
-                hit = True
-        if not hit:
-            unmatched.append(rec)
+    n_ocr, n_cells = len(ocr_rows), len(cell_quads)
+    if n_ocr == 0 or n_cells == 0:
+        return matched, list(ocr_rows)
+
+    # vectorized pair predicate (hot path: F×C per table); identical math to
+    # contained_side(..., 0.6) == 1 or box_iou(...) > 0.8 above
+    ob = np.asarray(
+        [(r[0][0][0], r[0][0][1], r[0][2][0], r[0][2][1]) for r in ocr_rows], dtype=float
+    )
+    cb = np.asarray(
+        [(c[0][0], c[0][1], c[2][0], c[2][1]) for c in cell_quads], dtype=float
+    )
+    ox0, oy0, ox1, oy1 = (ob[:, k][:, None] for k in range(4))
+    cx0, cy0, cx1, cy1 = (cb[:, k][None, :] for k in range(4))
+    overlap = ~((ox1 < cx0) | (ox0 > cx1) | (oy1 < cy0) | (oy0 > cy1))
+    iw = np.maximum(np.minimum(ox1, cx1) - np.maximum(ox0, cx0), 0.0)
+    ih = np.maximum(np.minimum(oy1, cy1) - np.maximum(oy0, cy0), 0.0)
+    inter = iw * ih
+    area_o = (ox1 - ox0) * (oy1 - oy0)
+    area_c = (cx1 - cx0) * (cy1 - cy0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        out_ratio = np.where(area_o > 0, (area_o - inter) / area_o, 0.0)
+        union = area_o + area_c - inter
+        iou = np.where(union == 0, 1.0, inter / union)
+    hits = overlap & ((out_ratio < 0.6) | (iou > 0.8))
+
+    any_hit = hits.any(axis=1)
+    for j in np.nonzero(hits.any(axis=0))[0]:
+        matched[int(j)] = [ocr_rows[i] for i in np.nonzero(hits[:, j])[0]]
+    unmatched = [ocr_rows[i] for i in np.nonzero(~any_hit)[0]]
     return matched, unmatched
 
 

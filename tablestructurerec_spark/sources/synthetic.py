@@ -89,9 +89,15 @@ def _random_table_fixture(rng: random.Random):
             n_lines = rspan * cspan if rng.random() < 0.3 else 1
             texts.append([_prose(rng, rng.randint(1, 3)) for _ in range(n_lines)])
             c += cspan
-    # occasionally leave a cell textless → renderer emits bare <td></td> slots
+    # occasionally leave a cell textless.  Only 1x1 cells may be textless:
+    # an empty cell spanning OUT of the renderer's valid row/col window emits
+    # no <td> at all (ref plot_html_table's skip rule,
+    # utils_table_recover.py:458-460), making the HTML ambiguous — the same
+    # lossiness the reference has; the oracle corpus must stay unambiguous.
     if logic and rng.random() < 0.3:
-        texts[rng.randrange(len(logic))] = [""]
+        unit_cells = [i for i, lp in enumerate(logic) if lp[0] == lp[1] and lp[2] == lp[3]]
+        if unit_cells:
+            texts[rng.choice(unit_cells)] = [""]
     return logic, texts
 
 

@@ -44,12 +44,16 @@ def grids(draw):
                     taken[rr][cc] = True
             logic.append([r, r + rs - 1, c, c + cs - 1])
             n_lines = rng.randint(1, 3)
-            texts.append(
-                [
-                    " ".join(rng.choice("aa bb cc dd ee".split()) for _ in range(rng.randint(0, 3)))
-                    for _ in range(n_lines)
-                ]
-            )
+            lines = [
+                " ".join(rng.choice("aa bb cc dd ee".split()) for _ in range(rng.randint(0, 3)))
+                for _ in range(n_lines)
+            ]
+            # empty-text cells spanning out of the render window make the
+            # HTML ambiguous (renderer skip rule) — restrict empties to 1x1,
+            # matching the synthesizer's grammar guarantee
+            if "".join(lines) == "" and (rs > 1 or cs > 1):
+                lines[0] = "aa"
+            texts.append(lines)
             c += cs
     return logic, texts
 
