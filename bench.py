@@ -90,9 +90,10 @@ def main() -> None:
     _ship(spark)
 
     if extract_only:
-        # scaling-mode child: 16x corpus so compute dominates fixed overhead
-        # at the higher parallelism; best-of-2 excludes worker cold start
-        dt, n_turns = _run_extraction(spark, sf, n_convs=16 * _n_convs(sf), reps=2)
+        # scaling-mode child: 64x corpus (~1M turns at sf0.1) so fixed
+        # overhead (worker spawn, scheduling) is <5% even at the higher
+        # parallelism; best-of-2 excludes residual cold-start
+        dt, n_turns = _run_extraction(spark, sf, n_convs=64 * _n_convs(sf), reps=2)
         print(json.dumps({"cpus": CPUS, "sec": round(dt, 3), "turns": n_turns,
                           "turns_per_sec": round(n_turns / dt, 1)}))
         spark.stop()
