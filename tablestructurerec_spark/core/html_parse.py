@@ -107,11 +107,20 @@ class _TableParser(HTMLParser):
         if not self.in_cell:
             return
         self.in_cell = False
+        if self.row < 0:  # hostile html: <td> before any <tr>
+            self.row = 0
         attrs = self.cur_attrs
         while self.occupied.get((self.row, self.cursor)):
             self.cursor += 1
-        rspan = max(int(attrs.get("rowspan") or 1), 1)
-        cspan = max(int(attrs.get("colspan") or 1), 1)
+
+        def span(v) -> int:
+            try:
+                return min(max(int(v), 1), 1 << 12)  # clamp hostile spans
+            except (TypeError, ValueError):
+                return 1
+
+        rspan = span(attrs.get("rowspan", 1))
+        cspan = span(attrs.get("colspan", 1))
         explicit = "rowspan" in attrs or "colspan" in attrs
         texts = self.cell_lines
         if not explicit and "".join(texts) == "":

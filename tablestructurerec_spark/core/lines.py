@@ -186,21 +186,16 @@ def _convex_hull(points: np.ndarray) -> np.ndarray:
     return np.array(lower[:-1] + upper[:-1])
 
 
-def min_area_rect(coords: np.ndarray) -> List[float]:
-    """Minimum-area rotated rect of (row, col) points → midpoint box_4_1.
-
-    Contract (ref utils_table_line_rec.py:421-447): the reference calls
-    cv2.minAreaRect on (x, y)-flipped coords, orders the corners, and
-    collapses the rect across its short side to midpoints, yielding
-    [xmin, ymin, xmax, ymax] of the medial segment.  Re-derived here with
-    rotating calipers over the convex hull (cv2 is unavailable in this
-    container); goldens allow atol=2.
-    """
+def min_area_rect_corners(coords: np.ndarray) -> np.ndarray:
+    """Ordered [tl, tr, br, bl] corners of the min-area rotated rect of
+    (row, col) points — the full-rect contract of the reference's
+    ``min_area_rect_box`` (ref utils_table_line_rec.py:619-653), re-derived
+    with rotating calipers over the convex hull (no cv2)."""
     pts = np.asarray(coords, dtype=float)[:, ::-1]  # (y,x) → (x,y)
     hull = _convex_hull(pts)
     if len(hull) == 1:
         x, y = hull[0]
-        return [x, y, x, y]
+        return np.array([[x, y]] * 4, dtype="float32")
     if len(hull) == 2:
         (x1, y1), (x2, y2) = hull
         corners = np.array([[x1, y1], [x2, y2], [x2, y2], [x1, y1]])
@@ -228,9 +223,19 @@ def min_area_rect(coords: np.ndarray) -> List[float]:
                         lo_u * u + hi_v * v,
                     ]
                 )
-    x1, y1 = corners[0]
-    ordered = order_quad_points(corners)
-    x1, y1, x2, y2, x3, y3, x4, y4 = ordered.reshape(8)
+    return order_quad_points(corners)
+
+
+def min_area_rect(coords: np.ndarray) -> List[float]:
+    """Minimum-area rotated rect of (row, col) points → midpoint box_4_1.
+
+    Contract (ref utils_table_line_rec.py:421-447): order the rect corners,
+    then collapse the rect across its short side to midpoints, yielding
+    [xmin, ymin, xmax, ymax] of the medial segment (used for LINE blobs).
+    Goldens allow atol=2.
+    """
+    ordered = min_area_rect_corners(coords)
+    x1, y1, x2, y2, x3, y3, x4, y4 = np.asarray(ordered).reshape(8)
     _, w, h, _, _ = center_rotate_angle([x1, y1, x2, y2, x3, y3, x4, y4])
     if w < h:
         return [(x1 + x2) / 2, (y1 + y2) / 2, (x3 + x4) / 2, (y3 + y4) / 2]

@@ -167,6 +167,13 @@ def process_table_html(
     ref main.py:132-134).
     """
     parsed_logic, parsed_texts = parse_table_html(html)
+    if parsed_logic:
+        # grid fill / render are O(rows x cols): bound hostile span claims
+        # (the Spark stage degrades this to an error row, preserving the job)
+        n_rows = max(lp[1] for lp in parsed_logic) + 1
+        n_cols = max(lp[3] for lp in parsed_logic) + 1
+        if n_rows * n_cols > 250_000:
+            raise ValueError(f"table grid too large: {n_rows}x{n_cols}")
     if not parsed_logic:
         return {
             "pred_html": "<html><body><table></table></body></html>",

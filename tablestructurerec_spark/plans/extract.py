@@ -47,7 +47,7 @@ __all__ = [
 TABLES_SCHEMA = (
     "conv_id string, turn_idx int, table_idx int, table_kind string, "
     "pred_html string, cell_bboxes array<array<double>>, "
-    "logic_points array<array<int>>, n_cells int"
+    "logic_points array<array<int>>, n_cells int, error string"
 )
 
 
@@ -68,10 +68,14 @@ def _table_seed(conv_id: str, turn_idx: int, table_idx: int) -> int:
     return zlib.crc32(f"{conv_id}|{turn_idx}|{table_idx}".encode())
 
 
+_EMPTY_HTML = "<html><body><table></table></body></html>"
+
+
 def _extract_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     cols = {
         "conv_id": [], "turn_idx": [], "table_idx": [], "table_kind": [],
         "pred_html": [], "cell_bboxes": [], "logic_points": [], "n_cells": [],
+        "error": [],
     }
 
     def flush():
@@ -85,7 +89,22 @@ def _extract_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             pdf["conv_id"], pdf["turn_idx"], pdf["text"]
         ):
             for ti, (_, _, html) in enumerate(find_table_fragments(text)):
-                res = process_table_html(html, _table_seed(conv_id, turn_idx, ti))
+                # per-table degradation, as the reference degrades per image
+                # (ref lineless_table_rec/main.py:132-134) — one poisoned
+                # fragment must not fail a 10^12-turn job; the error column
+                # feeds the lineage/metrics tables
+                try:
+                    res = process_table_html(html, _table_seed(conv_id, turn_idx, ti))
+                    err = None
+                except Exception as exc:  # noqa: BLE001 - deliberate catch-all
+                    res = {
+                        "table_kind": "error",
+                        "pred_html": _EMPTY_HTML,
+                        "cell_bboxes": [],
+                        "logic_points": [],
+                        "n_cells": 0,
+                    }
+                    err = f"{type(exc).__name__}: {exc}"[:500]
                 cols["conv_id"].append(conv_id)
                 cols["turn_idx"].append(turn_idx)
                 cols["table_idx"].append(ti)
@@ -94,6 +113,7 @@ def _extract_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 cols["cell_bboxes"].append(res["cell_bboxes"])
                 cols["logic_points"].append(res["logic_points"])
                 cols["n_cells"].append(res["n_cells"])
+                cols["error"].append(err)
         if cols["conv_id"]:
             yield flush()
 
