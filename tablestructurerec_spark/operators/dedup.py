@@ -59,13 +59,18 @@ _SHINGLES_SQL = (
 # MinHash + LSH banded candidate pairs
 # ---------------------------------------------------------------------------
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # exchange barrier right after shingling: the 8 signature expressions
-    # below would otherwise each re-inline (and re-execute) the tokenizer +
-    # shingler per document — measured 5x slower without the barrier
+    # repartition BEFORE shingling: the parquet source is a single split at
+    # small SF, so computing shingles map-side would run in one task; after
+    # the exchange the tokenize/shingle work fans out across all cores.  The
+    # shingle projection then sits in its own stage, so the 8 signature
+    # expressions below read the materialized `sh` column instead of each
+    # re-inlining (and re-executing) the tokenizer + shingler per document —
+    # measured 5x slower without the barrier.
     docs = (
         _t(spark, sf_dir, "documents")
-        .select("doc_id", shingles_col(tokens_col(F.col("text"))).alias("sh"))
+        .select("doc_id", "text")
         .repartition("doc_id")
+        .select("doc_id", shingles_col(tokens_col(F.col("text"))).alias("sh"))
     )
 
     def sig(i: int):
@@ -196,19 +201,28 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # blocking key = (source, length bucket): each doc lands in its bucket
     # and the next one, so every |Δn_chars| ≤ _LEN_BLOCK pair shares a
     # bucket — the join enumerates ~Δ/len_range of the same-source pairs
-    # instead of all of them.  Exchange barrier materializes the shingle
-    # sets once per doc (not once per candidate pair).
+    # instead of all of them.  The repartition comes BEFORE the shingler so
+    # the per-doc tokenize/shingle/distinct work runs across all cores (a
+    # single-split parquet file would otherwise compute it in one task) and
+    # is materialized once per doc by the exchange.
     docs = (
         _t(spark, sf_dir, "documents")
         .select(
             "doc_id",
             "source",
             "n_chars",
-            F.array_distinct(shingles_col(tokens_col(F.col("text")))).alias("sh"),
+            "text",
             F.floor(F.col("n_chars") / _LEN_BLOCK).cast("long").alias("blk"),
         )
         .withColumn("blk", F.explode(F.array(F.col("blk"), F.col("blk") + 1)))
         .repartition("source", "blk")
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            "blk",
+            F.array_distinct(shingles_col(tokens_col(F.col("text")))).alias("sh"),
+        )
     )
     a, b = docs.alias("a"), docs.alias("b")
     pairs = a.join(
@@ -221,13 +235,21 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
     union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
     jac = F.when(union > 0, inter / union).otherwise(0.0)
+    # Score once per candidate pair in a codegen'd projection (CSE applies —
+    # one array_intersect per pair).  The nondeterministic `_np` guard keeps
+    # the jaccard filter out of the join condition, where it ran before the
+    # cheap doc_id/n_chars conjuncts on every raw (source, blk) match and
+    # re-evaluated the intersect up to 6× per pair (measured 14.5s → <1s of
+    # join work at sf0.1).
+    scored = pairs.select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.round(jac, 6).alias("jaccard"),
+        F.rand(7).alias("_np"),
+    )
     return (
-        pairs.select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.round(jac, 6).alias("jaccard"),
-        )
-        .where(F.col("jaccard") >= _JACCARD_MIN)
+        scored.where((F.col("jaccard") >= _JACCARD_MIN) & (F.col("_np") >= -1.0))
+        .select("doc_a", "doc_b", "jaccard")
         .distinct()
         .orderBy("doc_a", "doc_b")
     )

@@ -212,17 +212,29 @@ _COS_MIN = 0.3
 
 
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # precompute norms once per vector, behind an exchange barrier on the
-    # join key — only the O(dim) dot product remains per candidate pair
+    # Banded range join: band = floor(vec_id / W); the probe side is exploded
+    # into (band, band+1) so every |Δvec_id| ≤ W pair shares an equi key and
+    # each true pair matches in exactly one band (b carries a single band).
+    # Without the band key the join is equi on label alone and every |group|²
+    # label pair reaches the join condition — the cosine (a higher-order
+    # aggregate, no subexpression elimination inside join conditions) was
+    # measured 16× slower there.  Norms are computed once per vector behind
+    # the exchange barrier.
     emb = (
         _t(spark, sf_dir, "embeddings")
-        .select("vec_id", "label", "embedding", _norm(F.col("embedding")).alias("nrm"))
-        .repartition("label")
+        .select(
+            "vec_id",
+            "label",
+            "embedding",
+            _norm(F.col("embedding")).alias("nrm"),
+            F.floor(F.col("vec_id") / _PAIR_WINDOW).cast("long").alias("band"),
+        )
     )
-    a, b = emb.alias("a"), emb.alias("b")
-    pairs = a.join(
-        b,
+    probe = emb.withColumn("band", F.explode(F.array(F.col("band"), F.col("band") + 1)))
+    pairs = probe.alias("a").join(
+        emb.alias("b"),
         (F.col("a.label") == F.col("b.label"))
+        & (F.col("a.band") == F.col("b.band"))
         & (F.col("b.vec_id") > F.col("a.vec_id"))
         & (F.col("b.vec_id") <= F.col("a.vec_id") + _PAIR_WINDOW),
     )
@@ -230,14 +242,20 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         _dot(F.col("a.embedding"), F.col("b.embedding")) / (F.col("a.nrm") * F.col("b.nrm")),
         6,
     )
+    # The cosine is evaluated ONCE per candidate pair inside this projection
+    # (whole-stage codegen CSE).  The nondeterministic `_np` guard keeps the
+    # cos filter from being substituted back into the join condition, where
+    # it would run before the cheap range conjuncts on every raw equi match.
+    scored = pairs.select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        F.col("a.label").alias("label"),
+        cos.alias("cos"),
+        F.rand(7).alias("_np"),
+    )
     return (
-        pairs.select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.col("a.label").alias("label"),
-            cos.alias("cos"),
-        )
-        .where(F.col("cos") >= _COS_MIN)
+        scored.where((F.col("cos") >= _COS_MIN) & (F.col("_np") >= -1.0))
+        .select("vec_a", "vec_b", "label", "cos")
         .orderBy("vec_a", "vec_b")
     )
 
