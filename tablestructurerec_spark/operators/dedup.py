@@ -59,18 +59,16 @@ _SHINGLES_SQL = (
 # MinHash + LSH banded candidate pairs
 # ---------------------------------------------------------------------------
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # repartition BEFORE shingling: the parquet source is a single split at
-    # small SF, so computing shingles map-side would run in one task; after
-    # the exchange the tokenize/shingle work fans out across all cores.  The
-    # shingle projection then sits in its own stage, so the 8 signature
-    # expressions below read the materialized `sh` column instead of each
-    # re-inlining (and re-executing) the tokenizer + shingler per document —
-    # measured 5x slower without the barrier.
+    # exchange barrier right after shingling: the 8 signature expressions
+    # below would otherwise each re-inline (and re-execute) the tokenizer +
+    # shingler per document — measured 5x slower without the barrier.
+    # (Shingling stays map-side on the scan: at scale the source has many
+    # splits; moving it after the exchange lets AQE coalesce the tiny
+    # shuffle and serialize the work — measured slower at bench SF.)
     docs = (
         _t(spark, sf_dir, "documents")
-        .select("doc_id", "text")
-        .repartition("doc_id")
         .select("doc_id", shingles_col(tokens_col(F.col("text"))).alias("sh"))
+        .repartition("doc_id")
     )
 
     def sig(i: int):
@@ -201,28 +199,22 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # blocking key = (source, length bucket): each doc lands in its bucket
     # and the next one, so every |Δn_chars| ≤ _LEN_BLOCK pair shares a
     # bucket — the join enumerates ~Δ/len_range of the same-source pairs
-    # instead of all of them.  The repartition comes BEFORE the shingler so
-    # the per-doc tokenize/shingle/distinct work runs across all cores (a
-    # single-split parquet file would otherwise compute it in one task) and
-    # is materialized once per doc by the exchange.
+    # instead of all of them.  Shingles are computed map-side (scan
+    # parallelism — at scale the source has many splits) and the exchange
+    # materializes them ONCE per doc for both join sides; computing them
+    # after the repartition instead was measured 2.5× slower because AQE
+    # coalesces the tiny shuffle and each join side re-projects the shingler.
     docs = (
         _t(spark, sf_dir, "documents")
         .select(
             "doc_id",
             "source",
             "n_chars",
-            "text",
+            F.array_distinct(shingles_col(tokens_col(F.col("text")))).alias("sh"),
             F.floor(F.col("n_chars") / _LEN_BLOCK).cast("long").alias("blk"),
         )
         .withColumn("blk", F.explode(F.array(F.col("blk"), F.col("blk") + 1)))
         .repartition("source", "blk")
-        .select(
-            "doc_id",
-            "source",
-            "n_chars",
-            "blk",
-            F.array_distinct(shingles_col(tokens_col(F.col("text")))).alias("sh"),
-        )
     )
     a, b = docs.alias("a"), docs.alias("b")
     pairs = a.join(
