@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from typing import Callable, Dict
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .textstats import _TOKENS_SQL, tokens_col
@@ -139,6 +139,12 @@ _SIM_BITS = 16
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # explode + codegen'd hash aggregate.  This is scale-safe despite the
+    # token explode: partial aggregation combines the bit votes map-side, so
+    # the shuffle carries ~one 16-long row per (mapper, doc), not per token.
+    # A shuffle-free higher-order-function fold over the token array was
+    # tried and measured 2-3× slower — HOF lambdas evaluate interpreted,
+    # outside whole-stage codegen.
     docs = _t(spark, sf_dir, "documents")
     tok = (
         docs.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("tok"))
@@ -154,10 +160,13 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         for j in range(_SIM_BITS)
     )
     sigs = per_doc.select("doc_id", simhash.cast("int").alias("simhash"))
-    groups = sigs.groupBy("simhash").agg(F.count(F.lit(1)).alias("group_size"))
+    # group sizes via a window over the signature: one shuffle total, vs
+    # groupBy + rejoin which shuffles sigs twice
+    w = Window.partitionBy("simhash")
     return (
-        sigs.join(groups, "simhash")
-        .select("doc_id", "simhash", F.col("group_size").cast("int").alias("group_size"))
+        sigs.select(
+            "doc_id", "simhash", F.count(F.lit(1)).over(w).cast("int").alias("group_size")
+        )
         .orderBy("doc_id")
     )
 

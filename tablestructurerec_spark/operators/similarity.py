@@ -205,6 +205,115 @@ LIMIT {_TOPK}
 
 
 # ---------------------------------------------------------------------------
+# IVF bucketed top-k (inverted-file coarse quantizer + probed exact re-rank)
+# ---------------------------------------------------------------------------
+_IVF_LISTS = 8  # coarse centroids = embeddings of vec_id 1.._IVF_LISTS
+_IVF_NPROBE = 2
+
+
+def _sqdist(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double")) ** 2),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: assign every vector to its nearest coarse centroid (the
+    deterministic seed vectors vec_id 1..L — k-means-init-style; a trained
+    quantizer drops in the same shape), probe the query's nprobe nearest
+    lists, exact-cosine re-rank only those lists.  At scale the centroid
+    table is O(L) → broadcast; assignment is a map-side argmin (partial-agg
+    min of (dist, cid) structs); the probed-list filter is a broadcast
+    semi-join, so the exact work touches ~nprobe/L of the data."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = emb.where((F.col("vec_id") >= 1) & (F.col("vec_id") <= _IVF_LISTS)).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    # nearest list per vector: broadcast x centroids, min struct(dist, cid)
+    assigned = (
+        emb.crossJoin(F.broadcast(cents))
+        .groupBy("vec_id")
+        .agg(
+            F.min(
+                F.struct(
+                    F.round(_sqdist(F.col("embedding"), F.col("cv")), 6).alias("d"),
+                    F.col("cid").alias("cid"),
+                )
+            ).alias("best")
+        )
+        .select("vec_id", F.col("best.cid").alias("list_id"))
+    )
+    member = emb.join(assigned, "vec_id").select("vec_id", "label", "embedding", "list_id")
+    qv = member.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qemb"), F.col("list_id").alias("qlist")
+    )
+    # nprobe nearest centroid lists to the query vector
+    probes = (
+        cents.crossJoin(F.broadcast(emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qemb"))))
+        .select("cid", F.round(_sqdist(F.col("cv"), F.col("qemb")), 6).alias("d"))
+        .orderBy("d", "cid")
+        .limit(_IVF_NPROBE)
+        .select(F.col("cid").alias("list_id"))
+    )
+    cand = member.where(F.col("vec_id") != 0).join(F.broadcast(probes), "list_id")
+    scored = cand.crossJoin(F.broadcast(qv.select("qemb"))).select(
+        "vec_id",
+        "label",
+        "list_id",
+        F.round(
+            _dot(F.col("embedding"), F.col("qemb"))
+            / (_norm(F.col("embedding")) * _norm(F.col("qemb"))),
+            6,
+        ).alias("cos"),
+    )
+    w = Window.orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(_TOPK)
+        .select("vec_id", "label", "list_id", "cos", F.row_number().over(w).cast("int").alias("rk"))
+        .orderBy("rk")
+    )
+
+
+_SQDIST_SQL = "round(list_sum(list_transform(list_zip({a}, {b}), p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) ** 2)), 6)"
+
+_ANN_IVF_SQL = f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings
+  WHERE vec_id BETWEEN 1 AND {_IVF_LISTS}
+), assigned AS (
+  SELECT e.vec_id,
+         (SELECT c.cid FROM cents c
+          ORDER BY {_SQDIST_SQL.format(a='e.embedding', b='c.cv')} ASC, c.cid ASC
+          LIMIT 1) AS list_id
+  FROM embeddings e
+), member AS (
+  SELECT e.vec_id, e.label, e.embedding, a.list_id
+  FROM embeddings e JOIN assigned a USING (vec_id)
+), q AS (
+  SELECT embedding AS qemb FROM embeddings WHERE vec_id = 0
+), probes AS (
+  SELECT c.cid AS list_id
+  FROM cents c, q
+  ORDER BY {_SQDIST_SQL.format(a='c.cv', b='q.qemb')} ASC, c.cid ASC
+  LIMIT {_IVF_NPROBE}
+), scored AS (
+  SELECT m.vec_id, m.label, m.list_id,
+         ROUND({_cos_sql('m.embedding', 'q.qemb')}, 6) AS cos
+  FROM member m JOIN probes USING (list_id), q
+  WHERE m.vec_id <> 0
+)
+SELECT vec_id, label, list_id, cos,
+       CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id ASC) AS INT) AS rk
+FROM scored
+ORDER BY cos DESC, vec_id ASC
+LIMIT {_TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
 # embedding cosine near-dup candidate pairs (blocked)
 # ---------------------------------------------------------------------------
 _PAIR_WINDOW = 40
@@ -274,11 +383,13 @@ ORDER BY vec_a, vec_b
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_bruteforce_topk": q_ann_bruteforce,
     "ann_lsh_bucket_topk": q_ann_lsh_bucket,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
 }
 
 ORACLE_SQL: Dict[str, str] = {
     "ann_bruteforce_topk": _ANN_BRUTE_SQL,
     "ann_lsh_bucket_topk": _lsh_oracle(),
+    "ann_ivf_topk": _ANN_IVF_SQL,
     "dedup_embedding_cosine": _EMB_PAIRS_SQL,
 }

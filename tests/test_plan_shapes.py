@@ -65,3 +65,21 @@ def test_extract_tables_projects_before_udf(spark):
     m = re.search(r"MapInPandas .*?#\d+", plan)
     assert m is not None
     assert "role" not in plan.split("MapInPandas")[1].split("\n")[0]
+
+
+def test_expensive_score_not_in_join_condition(spark):
+    """SCALING.md §4b: the jaccard/cosine score must be evaluated in a
+    post-join projection (CSE, once per candidate), never inlined into the
+    join condition (no CSE, runs on every raw equi match)."""
+    from tablestructurerec_spark.operators.dedup import q_dedup_ngram_jaccard
+    from tablestructurerec_spark.operators.similarity import q_dedup_embedding_cosine
+
+    for fn, marker in (
+        (q_dedup_ngram_jaccard, "array_intersect"),
+        (q_dedup_embedding_cosine, "zip_with"),
+    ):
+        plan = _plan(fn(spark, SF))
+        join_lines = [l for l in plan.splitlines() if "Join" in l]
+        assert join_lines, fn.__name__
+        for line in join_lines:
+            assert marker not in line, f"{fn.__name__}: score in join condition"
