@@ -167,23 +167,32 @@ def final_adjust_lines(rowlines: list, collines: list) -> Tuple[list, list]:
 
 
 def _convex_hull(points: np.ndarray) -> np.ndarray:
-    """Monotone-chain convex hull (ccw, no duplicate endpoint)."""
+    """Monotone-chain convex hull (ccw, no duplicate endpoint).
+
+    Scalar cross products on python floats — np.cross per candidate point
+    dominated the whole wired-cell kernel (~40 µs/call × 10^5 calls)."""
     pts = np.unique(points, axis=0)
     if len(pts) <= 2:
         return pts
     pts = pts[np.lexsort((pts[:, 1], pts[:, 0]))]
+    seq = [(float(x), float(y)) for x, y in pts]
 
     def half(seq):
         h = []
-        for p in seq:
-            while len(h) >= 2 and np.cross(h[-1] - h[-2], p - h[-2]) <= 0:
-                h.pop()
-            h.append(p)
+        for px, py in seq:
+            while len(h) >= 2:
+                ax, ay = h[-2]
+                bx, by = h[-1]
+                if (bx - ax) * (py - ay) - (by - ay) * (px - ax) <= 0:
+                    h.pop()
+                else:
+                    break
+            h.append((px, py))
         return h
 
-    lower = half(pts)
-    upper = half(pts[::-1])
-    return np.array(lower[:-1] + upper[:-1])
+    lower = half(seq)
+    upper = half(seq[::-1])
+    return np.array(lower[:-1] + upper[:-1], dtype=float)
 
 
 def min_area_rect_corners(coords: np.ndarray) -> np.ndarray:
@@ -192,6 +201,14 @@ def min_area_rect_corners(coords: np.ndarray) -> np.ndarray:
     ``min_area_rect_box`` (ref utils_table_line_rec.py:619-653), re-derived
     with rotating calipers over the convex hull (no cv2)."""
     pts = np.asarray(coords, dtype=float)[:, ::-1]  # (y,x) → (x,y)
+    if len(pts) > 64:
+        # pixel regions: only per-row x extremes can be hull vertices —
+        # collapses O(area) points to O(height) before the hull
+        order = np.lexsort((pts[:, 0], pts[:, 1]))
+        sp = pts[order]
+        rows, starts = np.unique(sp[:, 1], return_index=True)
+        ends = np.append(starts[1:], len(sp)) - 1
+        pts = np.concatenate([sp[starts], sp[ends]])
     hull = _convex_hull(pts)
     if len(hull) == 1:
         x, y = hull[0]
