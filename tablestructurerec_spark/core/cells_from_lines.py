@@ -78,5 +78,10 @@ def cells_from_segments(
         quad = min_area_rect_corners(coords)  # cw [tl, tr, br, bl] full rect
         # cw [tl, tr, br, bl] → ccw [tl, bl, br, tr]
         quads.append(np.array([quad[0], quad[3], quad[2], quad[1]]))
-    quads.sort(key=lambda q: (round(q[0][1]), round(q[0][0])))
+    if quads:
+        # W2 banded reading-order sort — tolerant to ±1px ragged cell tops
+        # (a naive (y, x) sort scrambles within-row order on deskewed masks)
+        from .polys import sort_quads
+
+        quads = [q for q in sort_quads(np.asarray(quads))]
     return quads

@@ -215,7 +215,14 @@ def _cells_from_line_mask(lines: np.ndarray, min_side: float) -> List[np.ndarray
             continue
         quad = min_area_rect_corners(coords)
         quads.append(np.array([quad[0], quad[3], quad[2], quad[1]], dtype=float))
-    quads.sort(key=lambda q: (round(q[0][1]), round(q[0][0])))
+    if quads:
+        # W2 banded reading-order sort (sorted_boxes, 10px y tolerance):
+        # raster/naive (y, x) order breaks on the ±1px ragged cell tops a
+        # deskew rotation leaves, scrambling within-row order and with it
+        # TableRecover's sequential column assignment
+        from .polys import sort_quads
+
+        quads = [q for q in sort_quads(np.asarray(quads))]
     return quads
 
 

@@ -28,7 +28,16 @@ import pandas as pd
 from ..core.lore_post import snap_and_round_logic
 from .decode import decode_quads, select_detections, unwarp_coords
 
-__all__ = ["StubBackend", "OnnxBackend", "get_backend", "structure_infer", "INFER_SCHEMA"]
+__all__ = [
+    "StubBackend",
+    "OnnxBackend",
+    "get_backend",
+    "structure_infer",
+    "wired_structure_infer",
+    "pack_class_mask",
+    "unpack_class_mask",
+    "INFER_SCHEMA",
+]
 
 _FEAT_H = _FEAT_W = 192  # 768 / 4, ref table_structure_lore.py:16-17 + meta
 _SPAN = 768.0
@@ -147,6 +156,71 @@ def structure_infer(df, backend: str = "stub", model_path: str = ""):
                 out["logic_points"].append(logic.tolist())
                 out["n_cells"].append(len(logic))
                 out["mean_score"].append(float(scores.mean()) if len(scores) else 0.0)
+            yield pd.DataFrame(out)
+
+    src = df.select("conv_id", "turn_idx", "table_idx", "payload")
+    return src.mapInPandas(run, schema=INFER_SCHEMA)
+
+
+def pack_class_mask(pred: "np.ndarray") -> bytes:
+    """Serialize a uint8 class mask (0 bg / 1 h-line / 2 v-line) into the
+    binary payload column (npy wire format — numpy-only, deterministic)."""
+    import io
+
+    buf = io.BytesIO()
+    np.save(buf, np.asarray(pred, dtype=np.uint8), allow_pickle=False)
+    return buf.getvalue()
+
+
+def unpack_class_mask(payload: bytes) -> "np.ndarray":
+    import io
+
+    return np.load(io.BytesIO(bytes(payload)), allow_pickle=False)
+
+
+def wired_structure_infer(df, rotated_fix: bool = True):
+    """Wired-path twin of :func:`structure_infer`: DataFrame(conv_id,
+    turn_idx, table_idx, payload:binary class mask) → same INFER_SCHEMA.
+
+    The payload stands where the UNet's ONNX output mask would be (ref
+    wired_table_rec/table_structure_unet.py:73-76 produces exactly this
+    class mask); the whole postprocess (morphological close → line segments
+    → adjust → skew fix → interior cells → TableRecover logic points) runs
+    vectorized per mask inside one Arrow-batched ``mapInPandas`` stage —
+    swapping in a real ONNX session only changes where ``pred`` comes from.
+    """
+    from ..core.morphology import wired_polygons_from_class_mask
+    from ..core.recover import recover_logic_points
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "conv_id", "turn_idx", "table_idx",
+                "cell_quads", "logic_points", "n_cells", "mean_score",
+            )}
+            for conv_id, turn_idx, table_idx, payload in zip(
+                pdf["conv_id"], pdf["turn_idx"], pdf["table_idx"], pdf["payload"]
+            ):
+                pred = unpack_class_mask(payload)
+                polys, rotated = wired_polygons_from_class_mask(
+                    pred, rotated_fix=rotated_fix
+                )
+                if polys:
+                    # TableRecover runs on the deskewed quads, as the
+                    # reference does (wired_table_rec/main.py:99-101 feeds
+                    # rotated_polygons)
+                    logic = np.asarray(recover_logic_points(np.asarray(rotated)))
+                    quads = np.asarray(polys).reshape(len(polys), 8)
+                else:
+                    logic = np.zeros((0, 4), dtype=int)
+                    quads = np.zeros((0, 8))
+                out["conv_id"].append(conv_id)
+                out["turn_idx"].append(int(turn_idx))
+                out["table_idx"].append(int(table_idx))
+                out["cell_quads"].append(quads.tolist())
+                out["logic_points"].append(logic.tolist())
+                out["n_cells"].append(len(logic))
+                out["mean_score"].append(1.0 if len(logic) else 0.0)
             yield pd.DataFrame(out)
 
     src = df.select("conv_id", "turn_idx", "table_idx", "payload")

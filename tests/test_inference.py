@@ -82,3 +82,47 @@ def test_structure_infer_stage(spark):
         assert out[key].logic_points == logic
         assert out[key].n_cells == len(logic)
         assert out[key].mean_score > 0.85
+
+
+def test_wired_structure_infer_stage(spark):
+    """Class-mask payloads → wired_structure_infer (mapInPandas over the full
+    M6 postprocess) recovers the drawn grid's logic points, upright and
+    skewed."""
+    import numpy as np
+
+    from tablestructurerec_spark.core.cells_from_lines import raster_segments
+    from tablestructurerec_spark.core.morphology import rotate_mask
+    from tablestructurerec_spark.inference.runner import (
+        pack_class_mask,
+        wired_structure_infer,
+    )
+
+    def grid_mask(angle):
+        shape = (300, 360)
+        rows = [(40, 40 + r * 40, 40 + 4 * 60, 40 + r * 40) for r in range(4)]
+        cols = [(40 + c * 60, 40, 40 + c * 60, 40 + 3 * 40) for c in range(5)]
+        hm = raster_segments(shape, rows, 2)
+        vm = raster_segments(shape, cols, 2)
+        if angle:
+            hm = rotate_mask(hm, -angle)
+            vm = rotate_mask(vm, -angle)
+        pred = np.zeros(shape, dtype=np.uint8)
+        pred[hm] = 1
+        pred[vm] = 2
+        return pred
+
+    rows = [
+        ("c0", 0, 0, pack_class_mask(grid_mask(0.0))),
+        ("c0", 1, 0, pack_class_mask(grid_mask(5.0))),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, table_idx int, payload binary"
+    )
+    out = {r.turn_idx: r for r in wired_structure_infer(df).collect()}
+    assert set(out) == {0, 1}
+    for ti in (0, 1):
+        r = out[ti]
+        assert r.n_cells == 12, (ti, r.n_cells)
+        logic = np.asarray(r.logic_points)
+        assert logic[:, 1].max() == 2 and logic[:, 3].max() == 3
+        assert len(r.cell_quads) == 12 and len(r.cell_quads[0]) == 8

@@ -187,6 +187,14 @@ def test_wired_polygons_skewed_grid_unrotates():
     c_out = np.mean(polys[0], axis=0)
     c_rot = np.mean(rotated[0], axis=0)
     assert np.linalg.norm(c_out - c_rot) > 1.0
+    # the deskewed quads recover the true 3x4 logical grid
+    from tablestructurerec_spark.core.recover import recover_logic_points
+
+    logic = np.asarray(recover_logic_points(np.asarray(rotated)))
+    assert logic[:, 1].max() == 2 and logic[:, 3].max() == 3
+    assert sorted(map(tuple, logic)) == sorted(
+        (r, r, c, c) for r in range(3) for c in range(4)
+    )
 
 
 # ---------------------------------------------------------------------------
