@@ -50,14 +50,21 @@ __all__ = [
 def _slide_1d(arr: np.ndarray, k: int, axis: int, op: str) -> np.ndarray:
     """Running max/min over a k-window along ``axis`` with cv2's anchor
     (k//2) and morphology border convention (dilate pads -inf, erode +inf,
-    i.e. the border never contributes)."""
+    i.e. the border never contributes).  Dilation uses the REFLECTED kernel
+    (window [i-(k-1-a), i+a]) exactly as cv2 does — for even k this is what
+    keeps CLOSE extensive (erode's window [i-a, i+k-1-a] then re-covers
+    every dilated pixel)."""
     if k <= 1:
         return arr.copy()
     a = np.moveaxis(arr, axis, -1)
     anchor = k // 2
+    if op == "max":
+        lo, hi = k - 1 - anchor, anchor
+    else:
+        lo, hi = anchor, k - 1 - anchor
     pad_val = arr.dtype.type(0) if op == "max" else arr.dtype.type(1)
     padded = np.pad(
-        a, [(0, 0)] * (a.ndim - 1) + [(anchor, k - 1 - anchor)],
+        a, [(0, 0)] * (a.ndim - 1) + [(lo, hi)],
         mode="constant", constant_values=pad_val,
     )
     win = np.lib.stride_tricks.sliding_window_view(padded, k, axis=-1)

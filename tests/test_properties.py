@@ -110,3 +110,44 @@ def test_reading_order_is_permutation_and_idempotent(raw):
     again, perm2 = reading_order([list(b) for b in ordered])
     assert list(again) == list(ordered)
     assert perm2 == list(range(len(ordered)))
+
+
+# ---------------------------------------------------------------------------
+# morphology invariants
+# ---------------------------------------------------------------------------
+@given(st.integers(0, 10**9), st.integers(2, 9))
+@settings(max_examples=40, deadline=None)
+def test_close_1d_idempotent_and_extensive(seed, k):
+    """CLOSE is extensive (never removes foreground) and idempotent."""
+    from tablestructurerec_spark.core.morphology import close_1d
+
+    rng = np.random.default_rng(seed)
+    m = rng.random((12, 24)) < 0.35
+    c1 = close_1d(m, k, axis=1)
+    assert (c1 | m).sum() == c1.sum()  # m ⊆ close(m)
+    assert np.array_equal(close_1d(c1, k, axis=1), c1)
+
+
+@given(st.integers(0, 10**9))
+@settings(max_examples=25, deadline=None)
+def test_label_components_partition_properties(seed):
+    """Labels are dense 1..K in first-encounter order; 8-neighbors share."""
+    from tablestructurerec_spark.core.wired_lines import label_components
+
+    rng = np.random.default_rng(seed)
+    m = rng.random((20, 30)) < 0.4
+    lab = label_components(m)
+    assert (lab > 0).sum() == m.sum() and not lab[~m].any()
+    k = lab.max()
+    if k:
+        assert set(np.unique(lab)) == set(range(k + 1)) - ({0} - set(np.unique(lab)))
+        # first occurrences appear in increasing label order
+        firsts = [np.flatnonzero(lab.ravel() == i)[0] for i in range(1, k + 1)]
+        assert firsts == sorted(firsts)
+    # 8-connected neighbors always share a label
+    ys, xs = np.nonzero(m)
+    for dy, dx in ((0, 1), (1, 0), (1, 1), (1, -1)):
+        ny, nx = ys + dy, xs + dx
+        ok = (ny >= 0) & (ny < m.shape[0]) & (nx >= 0) & (nx < m.shape[1])
+        both = ok & m[ny % m.shape[0], nx % m.shape[1]]
+        assert (lab[ys[both], xs[both]] == lab[ny[both], nx[both]]).all()
