@@ -43,10 +43,15 @@ def bucket_col(n_buckets: int):
 
 
 def completed_buckets(spark: SparkSession, out_dir: str) -> List[int]:
-    try:
-        lin = spark.read.parquet(f"{out_dir}/_lineage")
-    except Exception:
+    # existence check via the Hadoop FS API (works for any supported
+    # filesystem) instead of read-and-catch, which logs an alarming
+    # PATH_NOT_FOUND stack trace on every fresh run
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(f"{out_dir}/_lineage")
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(path):
         return []
+    lin = spark.read.parquet(f"{out_dir}/_lineage")
     ok = lin.where(F.col("status") == "ok").select("bucket").distinct()
     return sorted(r.bucket for r in ok.collect())
 
