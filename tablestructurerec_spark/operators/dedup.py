@@ -276,14 +276,101 @@ ORDER BY doc_a, doc_b
 """
 
 
+# ---------------------------------------------------------------------------
+# duplicate components: pair list → groups → representative
+# ---------------------------------------------------------------------------
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the MinHash-LSH candidate pairs — the last
+    mile of a dedup pipeline: every document in a dup group gets the group's
+    min doc_id as ``component``; ``is_representative`` marks the keeper.
+
+    Distributed shape: iterative min-label propagation over the (tiny
+    relative to the corpus) edge list — each round is one shuffle
+    (symmetrized edges joined to current labels, min per vertex), converging
+    in O(diameter) rounds, diameter being small for near-dup clusters.  The
+    O(corpus) side only joins in once at the end (broadcast of the
+    component map).  Singleton documents are their own component.
+    """
+    pairs = q_dedup_minhash_lsh(spark, sf_dir)  # (doc_a, doc_b)
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .localCheckpoint()  # materialize once; every round re-reads it
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.col("doc_id").alias("component"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("component")).collect()[0][0] or 0
+    while True:
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("component").alias("ncomp"))
+        )
+        labels = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
+            .select(
+                "doc_id",
+                F.least(F.col("component"), F.coalesce(F.col("ncomp"), F.col("component"))).alias("component"),
+            )
+            .localCheckpoint()  # truncate the iterative lineage each round
+        )
+        # labels only ever decrease, so the sum is a strictly-monotone
+        # convergence witness — one cheap aggregate instead of a self-join
+        cur_sum = labels.agg(F.sum("component")).collect()[0][0] or 0
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    out = docs.join(F.broadcast(labels), "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
+    )
+    return out.select(
+        "doc_id",
+        "component",
+        (F.col("doc_id") == F.col("component")).alias("is_representative"),
+    ).orderBy("doc_id")
+
+
+def _components_oracle() -> str:
+    """Same components via a recursive CTE: min reachable doc_id."""
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({_minhash_oracle().replace(';', '')})
+), edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+), reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+), comp AS (
+  SELECT src AS doc_id, LEAST(MIN(dst), src) AS component
+  FROM reach GROUP BY src
+)
+SELECT d.doc_id,
+       COALESCE(c.component, d.doc_id) AS component,
+       d.doc_id = COALESCE(c.component, d.doc_id) AS is_representative
+FROM documents d LEFT JOIN comp c USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_components": q_dedup_components,
 }
 
 ORACLE_SQL: Dict[str, str] = {
     "dedup_minhash_lsh": _minhash_oracle(),
     "dedup_simhash": _simhash_oracle(),
     "dedup_ngram_jaccard": _JACCARD_SQL,
+    "dedup_components": _components_oracle(),
 }
