@@ -61,10 +61,18 @@ def cells_from_segments(
     top-to-bottom / left-to-right — the orientation and order
     ``recover_logic_points`` consumes.
     """
-    h, w = shape
     lines = raster_segments(shape, list(row_segments) + list(col_segments), thickness)
-    interior = ~lines
-    labels = label_components(interior)
+    return cells_from_line_mask(lines, min_side)
+
+
+def cells_from_line_mask(lines: np.ndarray, min_side: float = 15) -> List[np.ndarray]:
+    """Rasterized line mask → ccw cell quads in reading order (the shared
+    interior-CC body of cells_from_segments and the morphology skew path —
+    cal_region_boxes, table_structure_unet.py:147-158 + min_area_rect_box
+    filters)."""
+    lines = np.asarray(lines, dtype=bool)
+    h, w = lines.shape
+    labels = label_components(~lines)
     quads: List[np.ndarray] = []
     for lab in range(1, labels.max() + 1):
         coords = np.argwhere(labels == lab)  # (row, col)
@@ -77,7 +85,7 @@ def cells_from_segments(
             continue
         quad = min_area_rect_corners(coords)  # cw [tl, tr, br, bl] full rect
         # cw [tl, tr, br, bl] → ccw [tl, bl, br, tr]
-        quads.append(np.array([quad[0], quad[3], quad[2], quad[1]]))
+        quads.append(np.array([quad[0], quad[3], quad[2], quad[1]], dtype=float))
     if quads:
         # W2 banded reading-order sort — tolerant to ±1px ragged cell tops
         # (a naive (y, x) sort scrambles within-row order on deskewed masks)

@@ -171,7 +171,7 @@ def wired_polygons_from_class_mask(
     Returns (polygons, rotated_polygons) as lists of (4, 2) ccw quads, the
     same pair contract as the reference.
     """
-    from .cells_from_lines import cells_from_segments, raster_segments
+    from .cells_from_lines import cells_from_line_mask, raster_segments
     from .lines import adjust_lines, final_adjust_lines
     from .wired_lines import mask_to_line_segments
 
@@ -192,45 +192,13 @@ def wired_polygons_from_class_mask(
     rot = estimate_skew_angle(line_img)
     if rotated_fix and abs(rot) > 0.3:
         rotated = rotate_mask(line_img, rot)
-        # cells_from_segments' labeling works off any line mask; reuse its
-        # interior-components path on the already-rasterized rotated mask
-        rotated_polys = _cells_from_line_mask(rotated, min_side)
+        rotated_polys = cells_from_line_mask(rotated, min_side)
         polys = [rotate_points(q, -rot, (h, w)) for q in rotated_polys]
         return polys, rotated_polys
-    polys = _cells_from_line_mask(line_img, min_side)
+    polys = cells_from_line_mask(line_img, min_side)
     return polys, [q.copy() for q in polys]
 
 
-def _cells_from_line_mask(lines: np.ndarray, min_side: float) -> List[np.ndarray]:
-    """Interior components of a rasterized line mask → ccw cell quads
-    (cal_region_boxes, table_structure_unet.py:147-158 + min_area_rect_box
-    filters)."""
-    from .lines import min_area_rect_corners
-    from .wired_lines import label_components
-
-    h, w = lines.shape
-    labels = label_components(~np.asarray(lines, dtype=bool))
-    quads: List[np.ndarray] = []
-    for lab in range(1, labels.max() + 1):
-        coords = np.argwhere(labels == lab)
-        y0, x0 = coords.min(axis=0)
-        y1, x1 = coords.max(axis=0)
-        bw, bh = x1 - x0 + 1, y1 - y0 + 1
-        if bw * bh > 0.5 * w * h:
-            continue
-        if bw < min_side or bh < min_side:
-            continue
-        quad = min_area_rect_corners(coords)
-        quads.append(np.array([quad[0], quad[3], quad[2], quad[1]], dtype=float))
-    if quads:
-        # W2 banded reading-order sort (sorted_boxes, 10px y tolerance):
-        # raster/naive (y, x) order breaks on the ±1px ragged cell tops a
-        # deskew rotation leaves, scrambling within-row order and with it
-        # TableRecover's sequential column assignment
-        from .polys import sort_quads
-
-        quads = [q for q in sort_quads(np.asarray(quads))]
-    return quads
 
 
 # ---------------------------------------------------------------------------
@@ -249,14 +217,19 @@ def dominant_line_angle(gray: np.ndarray, edge_thresh: float = 100.0) -> float:
     ys, xs = np.nonzero(mag > edge_thresh)
     if len(xs) == 0:
         return 0.0
-    thetas = np.deg2rad(np.arange(180))
-    rho = np.round(
-        xs[:, None] * np.cos(thetas)[None, :] + ys[:, None] * np.sin(thetas)[None, :]
-    ).astype(int)
+    # accumulate per theta with bincount: O(n_edge) memory per angle, vs a
+    # full (n_edge, 180) rho matrix which reaches GBs on dense page scans —
+    # this runs per image inside mapInPandas workers
     diag = int(np.ceil(math.hypot(*g.shape)))
-    acc = np.zeros((2 * diag + 1, 180), dtype=np.int64)
-    np.add.at(acc, (rho + diag, np.tile(np.arange(180), (len(xs), 1))), 1)
-    _, theta_idx = np.unravel_index(acc.argmax(), acc.shape)
+    xs_f = xs.astype(float)
+    ys_f = ys.astype(float)
+    best_votes, theta_idx = -1, 0
+    for t in range(180):
+        th = math.radians(t)
+        rho = np.round(xs_f * math.cos(th) + ys_f * math.sin(th)).astype(int) + diag
+        votes = int(np.bincount(rho, minlength=2 * diag + 1).max())
+        if votes > best_votes:
+            best_votes, theta_idx = votes, t
     theta = math.radians(int(theta_idx))
     # line direction is perpendicular to (cos theta, sin theta)
     ang = math.degrees(math.atan2(math.cos(theta), -math.sin(theta))) if math.sin(theta) != 0 else 90.0
@@ -284,14 +257,22 @@ def correct_orientation(img: np.ndarray, edge_thresh: float = 100.0) -> np.ndarr
 # M10 — perspective crop for re-OCR
 # ---------------------------------------------------------------------------
 def _homography(src: np.ndarray, dst: np.ndarray) -> np.ndarray:
-    """3x3 H with dst ~ H @ src for 4 point pairs (getPerspectiveTransform)."""
+    """3x3 H with dst ~ H @ src for 4 point pairs (getPerspectiveTransform).
+    Degenerate (collinear / zero-area) quads fall back to least squares so a
+    malformed upstream cell yields a junk crop, never a raised LinAlgError
+    killing the whole mapInPandas task (cv2 likewise never throws here)."""
     A = []
     b = []
     for (x, y), (u, v) in zip(src, dst):
         A.append([x, y, 1, 0, 0, 0, -u * x, -u * y])
         A.append([0, 0, 0, x, y, 1, -v * x, -v * y])
         b.extend([u, v])
-    h = np.linalg.solve(np.asarray(A, dtype=float), np.asarray(b, dtype=float))
+    A = np.asarray(A, dtype=float)
+    b = np.asarray(b, dtype=float)
+    try:
+        h = np.linalg.solve(A, b)
+    except np.linalg.LinAlgError:
+        h = np.linalg.lstsq(A, b, rcond=None)[0]
     return np.append(h, 1.0).reshape(3, 3)
 
 

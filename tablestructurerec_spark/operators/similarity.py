@@ -269,19 +269,20 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.col("best.cid").alias("list_id"))
     )
     member = emb.join(assigned, "vec_id").select("vec_id", "label", "embedding", "list_id")
-    qv = member.where(F.col("vec_id") == 0).select(
-        F.col("embedding").alias("qemb"), F.col("list_id").alias("qlist")
-    )
+    # the query embedding comes straight off the scan — routing it through
+    # `member` would re-evaluate the whole corpus-wide assignment subplan on
+    # the broadcast side just to read one row
+    qv = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qemb"))
     # nprobe nearest centroid lists to the query vector
     probes = (
-        cents.crossJoin(F.broadcast(emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qemb"))))
+        cents.crossJoin(F.broadcast(qv))
         .select("cid", F.round(_sqdist(F.col("cv"), F.col("qemb")), 6).alias("d"))
         .orderBy("d", "cid")
         .limit(_IVF_NPROBE)
         .select(F.col("cid").alias("list_id"))
     )
     cand = member.where(F.col("vec_id") != 0).join(F.broadcast(probes), "list_id")
-    scored = cand.crossJoin(F.broadcast(qv.select("qemb"))).select(
+    scored = cand.crossJoin(F.broadcast(qv)).select(
         "vec_id",
         "label",
         "list_id",

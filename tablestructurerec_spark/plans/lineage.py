@@ -43,15 +43,22 @@ def bucket_col(n_buckets: int):
 
 
 def completed_buckets(spark: SparkSession, out_dir: str) -> List[int]:
-    # existence check via the Hadoop FS API (works for any supported
-    # filesystem) instead of read-and-catch, which logs an alarming
-    # PATH_NOT_FOUND stack trace on every fresh run
-    jvm = spark._jvm
-    path = jvm.org.apache.hadoop.fs.Path(f"{out_dir}/_lineage")
-    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
-    if not fs.exists(path):
+    # existence pre-check via the Hadoop FS API where available (avoids the
+    # JVM logging an alarming PATH_NOT_FOUND trace on every fresh run); the
+    # read itself stays guarded so an unreadable _lineage dir (e.g. only a
+    # _temporary left by a crash mid-append) or a Connect session without
+    # the py4j bridge degrades to "no completed buckets" and re-runs them
+    try:
+        path = spark._jvm.org.apache.hadoop.fs.Path(f"{out_dir}/_lineage")
+        fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(path):
+            return []
+    except Exception:
+        pass
+    try:
+        lin = spark.read.parquet(f"{out_dir}/_lineage")
+    except Exception:
         return []
-    lin = spark.read.parquet(f"{out_dir}/_lineage")
     ok = lin.where(F.col("status") == "ok").select("bucket").distinct()
     return sorted(r.bucket for r in ok.collect())
 
