@@ -254,3 +254,53 @@ def test_perspective_crop_rotated_quad_recovers_pattern():
     out = perspective_crop(img, quad.astype(float))
     inner = out[5:-5, 5:-5]
     assert inner.mean() > 150.0
+
+
+def test_homography_maps_corners_exactly():
+    rng = np.random.default_rng(3)
+    from tablestructurerec_spark.core.morphology import _homography
+
+    for _ in range(20):
+        quad = rng.random((4, 2)) * 100
+        if abs(np.cross(quad[1] - quad[0], quad[3] - quad[0])) < 1e-3:
+            continue
+        dst = np.array([[0, 0], [40, 0], [40, 30], [0, 30]], dtype=float)
+        H = _homography(quad, dst)
+        src_h = np.hstack([quad, np.ones((4, 1))])
+        mapped = (H @ src_h.T).T
+        mapped = mapped[:, :2] / mapped[:, 2:]
+        assert np.allclose(mapped, dst, atol=1e-6)
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_wired_mask_path_fuzz_recovers_grid(seed):
+    """Random uniform grids at random small skews: class mask → full M6 →
+    TableRecover reproduces the exact logical grid."""
+    from tablestructurerec_spark.core.cells_from_lines import raster_segments
+    from tablestructurerec_spark.core.recover import recover_logic_points
+
+    rng = np.random.default_rng(seed)
+    nrows = int(rng.integers(2, 5))
+    ncols = int(rng.integers(2, 6))
+    cw = int(rng.integers(45, 80))
+    ch = int(rng.integers(32, 55))
+    angle = float(rng.uniform(-8, 8))
+    if abs(angle) < 0.5:
+        angle = 0.0
+    x0 = y0 = 60
+    shape = (y0 * 2 + nrows * ch + 40, x0 * 2 + ncols * cw + 40)
+    rows, cols = _grid_segments(x0, y0, cw, ch, ncols, nrows)
+    hm = raster_segments(shape, rows, 2)
+    vm = raster_segments(shape, cols, 2)
+    if angle:
+        hm = rotate_mask(hm, -angle)
+        vm = rotate_mask(vm, -angle)
+    pred = np.zeros(shape, dtype=np.uint8)
+    pred[hm] = 1
+    pred[vm] = 2
+    polys, rotated = wired_polygons_from_class_mask(pred)
+    assert len(polys) == nrows * ncols, (seed, nrows, ncols, angle, len(polys))
+    logic = np.asarray(recover_logic_points(np.asarray(rotated)))
+    assert sorted(map(tuple, logic)) == sorted(
+        (r, r, c, c) for r in range(nrows) for c in range(ncols)
+    ), (seed, nrows, ncols, angle)
