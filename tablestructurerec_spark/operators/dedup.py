@@ -310,11 +310,23 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("src")
             .agg(F.min("component").alias("ncomp"))
         )
+        stepped = labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left").select(
+            "doc_id",
+            F.least(F.col("component"), F.coalesce(F.col("ncomp"), F.col("component"))).alias("component"),
+        )
+        # pointer jumping: shortcut each label through its label's label —
+        # turns O(diameter) convergence into O(log diameter) rounds (each
+        # round costs one extra self-join, far cheaper than a full round)
+        hop = stepped.select(
+            F.col("doc_id").alias("hop_id"), F.col("component").alias("hop_comp")
+        )
         labels = (
-            labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
+            stepped.join(hop, stepped.component == hop.hop_id, "left")
             .select(
                 "doc_id",
-                F.least(F.col("component"), F.coalesce(F.col("ncomp"), F.col("component"))).alias("component"),
+                F.least(
+                    F.col("component"), F.coalesce(F.col("hop_comp"), F.col("component"))
+                ).alias("component"),
             )
             .localCheckpoint()  # truncate the iterative lineage each round
         )
