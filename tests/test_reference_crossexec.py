@@ -145,3 +145,196 @@ def test_table_recover_matches_reference_on_synth_grids():
                 if not np.array_equal(reflp, mine):
                     div += 1
     assert n > 200 and div == 0, (n, div)
+
+
+# ---------------------------------------------------------------------------
+# lineless utils (text-equality-critical: W1 sort, A5 gather, D1 dedup,
+# J1 match, F2 render, P1-P4 predicates)
+# ---------------------------------------------------------------------------
+REF_LL = "/root/reference/lineless_table_rec/utils/utils_table_recover.py"
+
+_LL_WANTED = {
+    "sorted_boxes",
+    "filter_duplicated_box",
+    "calculate_iou",
+    "caculate_single_axis_iou",
+    "is_box_contained",
+    "is_single_axis_contained",
+    "sorted_ocr_boxes",
+    "gather_ocr_list_by_row",
+    "match_ocr_cell",
+    "plot_html_table",
+    "box_4_1_poly_to_box_4_2",
+    "box_4_2_poly_to_box_4_1",
+}
+
+
+@pytest.fixture(scope="module")
+def ll_ns():
+    tree = ast.parse(open(REF_LL).read())
+    from typing import Any, Dict, List, Optional, Set, Tuple, Union
+
+    ns = {
+        "math": math, "np": np, "copy": copy, "random": random,
+        "Any": Any, "Dict": Dict, "List": List, "Optional": Optional,
+        "Set": Set, "Tuple": Tuple, "Union": Union,
+    }
+    for node in tree.body:
+        if isinstance(node, ast.FunctionDef) and node.name in _LL_WANTED:
+            exec(compile(ast.Module([node], []), "<ref_ll>", "exec"), ns)
+    assert _LL_WANTED <= set(ns)
+    return ns
+
+
+def _rand_boxes(rng, n):
+    out = []
+    for _ in range(n):
+        x0 = rng.uniform(0, 300)
+        y0 = rng.uniform(0, 200)
+        out.append([x0, y0, x0 + rng.uniform(5, 80), y0 + rng.uniform(4, 30)])
+    return out
+
+
+def test_geometry_predicates_match_reference(ll_ns):
+    from tablestructurerec_spark.core.geometry import (
+        axis_contained_side,
+        axis_iou,
+        box_iou,
+        contained_side,
+    )
+
+    rng = random.Random(5)
+    for _ in range(500):
+        a = _rand_boxes(rng, 1)[0]
+        b = _rand_boxes(rng, 1)[0]
+        assert np.isclose(ll_ns["calculate_iou"](a, b), box_iou(a, b), atol=1e-12)
+        for axis in ("x", "y"):
+            assert np.isclose(
+                ll_ns["caculate_single_axis_iou"](a, b, axis), axis_iou(a, b, axis), atol=1e-12
+            )
+            assert ll_ns["is_single_axis_contained"](a, b, axis) == axis_contained_side(a, b, axis)
+        assert ll_ns["is_box_contained"](a, b) == contained_side(a, b)
+
+
+def test_sorted_ocr_boxes_matches_reference(ll_ns):
+    from tablestructurerec_spark.core.geometry import reading_order
+
+    rng = random.Random(6)
+    for _ in range(300):
+        boxes = _rand_boxes(rng, rng.randint(1, 12))
+        ref_boxes, ref_idx = ll_ns["sorted_ocr_boxes"](boxes)
+        _my_boxes, my_idx = reading_order(np.asarray(boxes))
+        assert list(ref_idx) == list(my_idx)
+
+
+def test_filter_duplicated_box_matches_reference(ll_ns):
+    from tablestructurerec_spark.core.geometry import duplicate_box_indices
+
+    rng = random.Random(7)
+    for _ in range(300):
+        boxes = _rand_boxes(rng, rng.randint(2, 10))
+        # salt in real overlaps so the dedup predicates actually fire
+        if rng.random() < 0.7:
+            src = rng.randrange(len(boxes))
+            dup = list(boxes[src])
+            for k in range(4):
+                dup[k] += rng.uniform(-2, 2)
+            boxes.append(dup)
+        assert ll_ns["filter_duplicated_box"]([list(b) for b in boxes]) == set(
+            duplicate_box_indices(np.asarray(boxes, dtype=float))
+        )
+
+
+def test_gather_ocr_list_by_row_matches_reference(ll_ns):
+    from tablestructurerec_spark.core.geometry import gather_ocr_rows
+
+    rng = random.Random(8)
+    for _ in range(300):
+        items = []
+        y = 10.0
+        for _r in range(rng.randint(1, 4)):
+            x = 5.0
+            for _f in range(rng.randint(1, 4)):
+                w = rng.uniform(10, 60)
+                items.append([[x, y, x + w, y + rng.uniform(6, 12)], f"t{rng.randint(0,99)}"])
+                x += w + rng.uniform(0, 40)
+            y += rng.uniform(14, 40)
+        ref_out = ll_ns["gather_ocr_list_by_row"](copy.deepcopy(items))
+        my_out = gather_ocr_rows(copy.deepcopy(items))
+        assert [(list(map(float, b)), t) for b, t in ref_out] == [
+            (list(map(float, b)), t) for b, t in my_out
+        ]
+
+
+def test_match_ocr_cell_matches_reference(ll_ns):
+    from tablestructurerec_spark.core.geometry import match_ocr_to_cells
+
+    rng = random.Random(9)
+    for _ in range(200):
+        cells = []
+        for r in range(rng.randint(1, 3)):
+            for c in range(rng.randint(1, 4)):
+                x0, y0 = c * 80.0, r * 40.0
+                cells.append([[x0, y0], [x0 + 78, y0], [x0 + 78, y0 + 38], [x0, y0 + 38]])
+        ocr = []
+        for _f in range(rng.randint(1, 6)):
+            cx = rng.uniform(0, 300)
+            cy = rng.uniform(0, 110)
+            w, h = rng.uniform(8, 60), rng.uniform(5, 20)
+            box = [[cx, cy], [cx + w, cy], [cx + w, cy + h], [cx, cy + h]]
+            ocr.append([box, f"w{rng.randint(0,9)}", 0.9])
+        ref_match, _ = ll_ns["match_ocr_cell"](copy.deepcopy(ocr), np.asarray(cells))
+        my_match, _my_unmatched = match_ocr_to_cells(copy.deepcopy(ocr), np.asarray(cells))
+        assert {k: [r[1] for r in v] for k, v in ref_match.items()} == {
+            k: [r[1] for r in v] for k, v in my_match.items()
+        }
+
+
+def test_plot_html_table_matches_reference(ll_ns):
+    from tablestructurerec_spark.core.html_render import render_table_html
+    from tablestructurerec_spark.core.html_parse import parse_table_html  # noqa: F401
+
+    rng = random.Random(10)
+    for _ in range(200):
+        nrows, ncols = rng.randint(1, 5), rng.randint(1, 5)
+        taken = [[False] * ncols for _ in range(nrows)]
+        logic = []
+        for r in range(nrows):
+            c = 0
+            while c < ncols:
+                if taken[r][c]:
+                    c += 1
+                    continue
+                span_c = rng.randint(1, min(2, ncols - c))
+                span_r = rng.randint(1, min(2, nrows - r))
+                ok = all(
+                    not taken[rr][cc]
+                    for rr in range(r, r + span_r)
+                    for cc in range(c, c + span_c)
+                )
+                if not ok:
+                    span_c = span_r = 1
+                for rr in range(r, r + span_r):
+                    for cc in range(c, c + span_c):
+                        taken[rr][cc] = True
+                logic.append([r, r + span_r - 1, c, c + span_c - 1])
+                c += span_c
+        # randomly drop some cells to exercise the empty-slot path
+        keep = [i for i in range(len(logic)) if rng.random() > 0.15] or [0]
+        logic_kept = [logic[i] for i in keep]
+        contents = {}
+        for i in range(len(logic_kept)):
+            roll = rng.random()
+            if roll < 0.15:
+                continue  # no entry at all -> the render-nothing quirk
+            if roll < 0.3:
+                contents[i] = [""]  # empty text -> excluded from valid window
+            else:
+                contents[i] = [f"cell{i}l{j}" for j in range(rng.randint(1, 3))]
+        ref_html = ll_ns["plot_html_table"](
+            np.asarray(logic_kept, dtype=np.int32), copy.deepcopy(contents)
+        )
+        my_html = render_table_html(
+            np.asarray(logic_kept, dtype=np.int32), copy.deepcopy(contents)
+        )
+        assert ref_html == my_html
