@@ -338,3 +338,69 @@ def test_plot_html_table_matches_reference(ll_ns):
             np.asarray(logic_kept, dtype=np.int32), copy.deepcopy(contents)
         )
         assert ref_html == my_html
+
+
+# ---------------------------------------------------------------------------
+# CycleCenterNet path: quad NMS + grid-vertex snapping (cv2-free in ref)
+# ---------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def ccnet_ns():
+    class _Dist:  # scipy.spatial.distance shim (absent here): exact cdist math
+        @staticmethod
+        def cdist(a, b, metric="euclidean"):
+            a = np.asarray(a, float)
+            b = np.asarray(b, float)
+            return np.sqrt(((a[:, None, :] - b[None, :, :]) ** 2).sum(-1))
+
+    tree = ast.parse(open(REF).read())
+    ns = {"math": math, "np": np, "copy": copy, "dist": _Dist}
+    for node in tree.body:
+        if isinstance(node, ast.FunctionDef) and node.name in {"nms", "group_bbox_by_gbox"}:
+            exec(compile(ast.Module([node], []), "<ref_ccnet>", "exec"), ns)
+    assert {"nms", "group_bbox_by_gbox"} <= set(ns)
+    return ns
+
+
+def _rand_quad_dets(rng, n):
+    rows = []
+    for _ in range(n):
+        x0 = rng.uniform(0, 200)
+        y0 = rng.uniform(0, 150)
+        w = rng.uniform(15, 60)
+        h = rng.uniform(10, 40)
+        rows.append([x0, y0, x0 + w, y0, x0 + w, y0 + h, x0, y0 + h, rng.uniform(0, 1)])
+    rows.sort(key=lambda r: -r[-1])
+    return np.asarray(rows, dtype=float)
+
+
+def test_quad_nms_matches_reference(ccnet_ns):
+    from tablestructurerec_spark.core.wired_lines import quad_nms
+
+    rng = random.Random(11)
+    for _ in range(300):
+        dets = _rand_quad_dets(rng, rng.randint(2, 12))
+        ref_out = np.asarray(ccnet_ns["nms"](dets.copy(), 0.3))
+        my_out = np.asarray(quad_nms(dets.copy(), 0.3))
+        assert ref_out.shape == my_out.shape and np.allclose(
+            ref_out.reshape(-1), my_out.reshape(-1), atol=1e-12
+        )
+
+
+def test_snap_cells_to_grid_matches_reference(ccnet_ns):
+    from tablestructurerec_spark.core.wired_lines import snap_cells_to_grid
+
+    rng = random.Random(12)
+    for _ in range(200):
+        cells = _rand_quad_dets(rng, rng.randint(1, 6))
+        grows = []
+        for _g in range(rng.randint(1, 5)):
+            vx, vy = rng.uniform(0, 220), rng.uniform(0, 170)
+            centers = [
+                (vx + rng.uniform(-25, 25), vy + rng.uniform(-20, 20)) for _ in range(4)
+            ]
+            grows.append([vx, vy, *sum(([cx, cy] for cx, cy in centers), []), rng.uniform(0, 1)])
+        grows.sort(key=lambda r: -r[-1])
+        gboxes = np.asarray(grows, dtype=float)
+        ref_out = np.asarray(ccnet_ns["group_bbox_by_gbox"](cells.copy(), gboxes.copy()))
+        my_out = np.asarray(snap_cells_to_grid(cells.copy(), gboxes.copy()))
+        assert np.allclose(ref_out.reshape(-1), my_out.reshape(-1), atol=1e-12)
