@@ -404,3 +404,66 @@ def test_snap_cells_to_grid_matches_reference(ccnet_ns):
         ref_out = np.asarray(ccnet_ns["group_bbox_by_gbox"](cells.copy(), gboxes.copy()))
         my_out = np.asarray(snap_cells_to_grid(cells.copy(), gboxes.copy()))
         assert np.allclose(ref_out.reshape(-1), my_out.reshape(-1), atol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# M4 — LORE CenterNet 4-point decode on random heads
+# ---------------------------------------------------------------------------
+REF_LORE = "/root/reference/lineless_table_rec/utils/utils_table_lore_rec.py"
+
+_LORE_WANTED = {
+    "ctdet_4ps_decode",
+    "_nms",
+    "max_pool",
+    "_topk",
+    "find_topk",
+    "_gather_feat",
+    "_gather",
+    "_tranpose_and_gather_feat",
+    "_get_4ps_feat",
+}
+
+
+@pytest.fixture(scope="module")
+def lore_ns():
+    from typing import Dict, List, Tuple, Union
+
+    tree = ast.parse(open(REF_LORE).read())
+    ns = {
+        "math": math, "np": np, "copy": copy,
+        "Dict": Dict, "List": List, "Tuple": Tuple, "Union": Union,
+    }
+    for node in tree.body:
+        if isinstance(node, ast.FunctionDef) and node.name in _LORE_WANTED:
+            exec(compile(ast.Module([node], []), "<ref_lore>", "exec"), ns)
+    assert _LORE_WANTED <= set(ns)
+    return ns
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_decode_quads_matches_reference_on_random_heads(lore_ns, seed):
+    from tablestructurerec_spark.inference.decode import decode_quads, sigmoid
+
+    rng = np.random.default_rng(seed)
+    b, h, w, d, k = 1, 24, 32, 4, 20
+    heads = {
+        "hm": rng.normal(size=(b, 2, h, w)) * 3,
+        "wh": rng.normal(size=(b, 8, h, w)) * 4,
+        "ax": rng.normal(size=(b, d, h, w)),
+        "cr": rng.normal(size=(b, d, h, w)),
+        "reg": rng.normal(size=(b, 2, h, w)) * 0.3,
+    }
+    # ref returns (detections, keep, ax, cr_feat); the caller then does
+    # logi = ax + cr_feat (DetProcess.__call__, utils_table_lore_rec.py:22-55)
+    ref_dets, _keep, ref_ax, ref_cr = lore_ns["ctdet_4ps_decode"](
+        sigmoid(heads["hm"])[:, 0:1, :, :].copy(),
+        heads["wh"].copy(),
+        heads["ax"].copy(),
+        heads["cr"].copy(),
+        reg=heads["reg"].copy(),
+        K=k,
+    )
+    ref_logic = np.asarray(ref_ax, float) + np.asarray(ref_cr, float)
+    my_dets, my_logic = decode_quads({k2: v.copy() for k2, v in heads.items()}, k=k)
+    assert np.allclose(np.asarray(ref_dets, float), my_dets, atol=1e-9), seed
+    assert np.allclose(np.asarray(ref_logic, float), my_logic, atol=1e-9), seed
