@@ -304,3 +304,39 @@ def test_wired_mask_path_fuzz_recovers_grid(seed):
     assert sorted(map(tuple, logic)) == sorted(
         (r, r, c, c) for r in range(nrows) for c in range(ncols)
     ), (seed, nrows, ncols, angle)
+
+
+# ---------------------------------------------------------------------------
+# M5 resize behavior (numpy resampler)
+# ---------------------------------------------------------------------------
+def test_imresize_shapes_and_constants():
+    from tablestructurerec_spark.inference.resize import imresize, resize_img
+
+    img = np.full((40, 60), 7.0)
+    for interp in ("nearest", "bilinear", "bicubic", "area"):
+        out = imresize(img, (30, 20), interpolation=interp)
+        assert out.shape == (20, 30)
+        assert np.allclose(out, 7.0), interp  # constants are preserved exactly
+    out, ws, hs = resize_img(np.zeros((100, 50, 3)), (1024, 1024))
+    assert out.shape[0] == 1024 and np.isclose(ws, hs)
+
+
+def test_imresize_area_integer_downscale_is_box_mean():
+    from tablestructurerec_spark.inference.resize import imresize
+
+    rng = np.random.default_rng(5)
+    img = rng.random((12, 16))
+    out = imresize(img, (8, 6), interpolation="area")  # 2x2 boxes
+    expect = img.reshape(6, 2, 8, 2).mean(axis=(1, 3))
+    assert np.allclose(out, expect)
+
+
+def test_resize_img_interpolation_choice():
+    from tablestructurerec_spark.inference.resize import resize_img
+
+    # shrink: min side 800 > min target 512 → area path; grow: bicubic path
+    big = np.zeros((800, 900))
+    small = np.zeros((100, 120))
+    out_b, *_ = resize_img(big, (1024, 512))
+    out_s, *_ = resize_img(small, (1024, 512))
+    assert out_b.shape[0] <= 512 + 1 and out_s.shape[0] >= 100

@@ -467,3 +467,51 @@ def test_decode_quads_matches_reference_on_random_heads(lore_ns, seed):
     my_dets, my_logic = decode_quads({k2: v.copy() for k2, v in heads.items()}, k=k)
     assert np.allclose(np.asarray(ref_dets, float), my_dets, atol=1e-9), seed
     assert np.allclose(np.asarray(ref_logic, float), my_logic, atol=1e-9), seed
+
+
+# ---------------------------------------------------------------------------
+# M5 preprocess — rescale_size arithmetic (exact) vs reference + goldens
+# ---------------------------------------------------------------------------
+REF_UTILS = "/root/reference/wired_table_rec/utils/utils.py"
+
+
+@pytest.fixture(scope="module")
+def resize_ns():
+    tree = ast.parse(open(REF_UTILS).read())
+    ns = {"math": math, "np": np}
+    for node in tree.body:
+        if isinstance(node, ast.FunctionDef) and node.name in {"rescale_size", "_scale_size"}:
+            exec(compile(ast.Module([node], []), "<ref_resize>", "exec"), ns)
+    assert {"rescale_size", "_scale_size"} <= set(ns)
+    return ns
+
+
+@pytest.mark.parametrize(
+    "old_size, scale, expected",
+    [
+        # the reference's own golden cases (tests/test_wired_table_rec.py:228-244)
+        ((100, 50), (300, 100), ((200, 100), 2.0)),
+        ((50, 100), (100, 300), ((100, 200), 2.0)),
+        ((100, 50), (200, 150), ((200, 100), 2.0)),
+        ((50, 100), (150, 200), ((100, 200), 2.0)),
+    ],
+)
+def test_rescale_size_reference_goldens(old_size, scale, expected):
+    from tablestructurerec_spark.inference.resize import rescale_size
+
+    new_size, factor = rescale_size(old_size, scale, return_scale=True)
+    assert new_size == expected[0]
+    assert np.isclose(factor, expected[1], atol=1e-5)
+
+
+def test_rescale_size_matches_reference_random(resize_ns):
+    from tablestructurerec_spark.inference.resize import rescale_size
+
+    rng = random.Random(13)
+    for _ in range(500):
+        old = (rng.randint(1, 4000), rng.randint(1, 4000))
+        if rng.random() < 0.5:
+            scale = (rng.randint(1, 2000), rng.randint(1, 2000))
+        else:
+            scale = rng.uniform(0.05, 4.0)
+        assert resize_ns["rescale_size"](old, scale, True) == rescale_size(old, scale, True)
