@@ -515,3 +515,36 @@ def test_rescale_size_matches_reference_random(resize_ns):
         else:
             scale = rng.uniform(0.05, 4.0)
         assert resize_ns["rescale_size"](old, scale, True) == rescale_size(old, scale, True)
+
+
+def test_order_points_and_center_angle_match_reference(ccnet_ns):
+    """_order_points (cdist-shimmed) and calculate_center_rotate_angle vs
+    our order_quad_points / center_rotate_angle on random quads."""
+    tree = ast.parse(open(REF).read())
+    ns = dict(ccnet_ns)
+    for node in tree.body:
+        if isinstance(node, ast.FunctionDef) and node.name in {
+            "_order_points",
+            "calculate_center_rotate_angle",
+        }:
+            exec(compile(ast.Module([node], []), "<ref_op>", "exec"), ns)
+
+    from tablestructurerec_spark.core.lines import center_rotate_angle, order_quad_points
+
+    rng = np.random.default_rng(14)
+    for _ in range(300):
+        cx, cy = rng.uniform(50, 200, 2)
+        w, h = rng.uniform(20, 80), rng.uniform(15, 50)
+        th = rng.uniform(-0.4, 0.4)
+        c, s = math.cos(th), math.sin(th)
+        rect = np.array(
+            [[-w / 2, -h / 2], [w / 2, -h / 2], [w / 2, h / 2], [-w / 2, h / 2]]
+        ) @ np.array([[c, -s], [s, c]]).T + [cx, cy]
+        shuffled = rect[rng.permutation(4)]
+        ref_ordered = np.asarray(ns["_order_points"](shuffled.copy()), float)
+        my_ordered = np.asarray(order_quad_points(shuffled.copy()), float)
+        assert np.allclose(ref_ordered, my_ordered, atol=1e-4)
+        box8 = ref_ordered.reshape(8)
+        ref_vals = ns["calculate_center_rotate_angle"](box8.tolist())
+        my_vals = center_rotate_angle(box8.tolist())
+        assert np.allclose(np.asarray(ref_vals, float), np.asarray(my_vals, float), atol=1e-9)
