@@ -254,30 +254,48 @@ def match_ocr_to_cells(ocr_rows: list, cell_quads) -> Tuple[dict, list]:
         return matched, list(ocr_rows)
 
     # vectorized pair predicate (hot path: F×C per table); identical math to
-    # contained_side(..., 0.6) == 1 or box_iou(...) > 0.8 above
+    # contained_side(..., 0.6) == 1 or box_iou(...) > 0.8 above.  The OCR
+    # side is processed in blocks so peak memory stays ~tens of MB: a dense
+    # F×C float matrix set is ~15 × 8·F·C bytes, and on fresh pages the
+    # first-touch cost alone made a 4800² table take 38 s (measured) — the
+    # blocked version is identical math at a flat memory footprint.
     ob = np.asarray(
         [(r[0][0][0], r[0][0][1], r[0][2][0], r[0][2][1]) for r in ocr_rows], dtype=float
     )
     cb = np.asarray(
         [(c[0][0], c[0][1], c[2][0], c[2][1]) for c in cell_quads], dtype=float
     )
-    ox0, oy0, ox1, oy1 = (ob[:, k][:, None] for k in range(4))
     cx0, cy0, cx1, cy1 = (cb[:, k][None, :] for k in range(4))
-    overlap = ~((ox1 < cx0) | (ox0 > cx1) | (oy1 < cy0) | (oy0 > cy1))
-    iw = np.maximum(np.minimum(ox1, cx1) - np.maximum(ox0, cx0), 0.0)
-    ih = np.maximum(np.minimum(oy1, cy1) - np.maximum(oy0, cy0), 0.0)
-    inter = iw * ih
-    area_o = (ox1 - ox0) * (oy1 - oy0)
     area_c = (cx1 - cx0) * (cy1 - cy0)
-    with np.errstate(divide="ignore", invalid="ignore"):
-        out_ratio = np.where(area_o > 0, (area_o - inter) / area_o, 0.0)
-        union = area_o + area_c - inter
-        iou = np.where(union == 0, 1.0, inter / union)
-    hits = overlap & ((out_ratio < 0.6) | (iou > 0.8))
 
-    any_hit = hits.any(axis=1)
-    for j in np.nonzero(hits.any(axis=0))[0]:
-        matched[int(j)] = [ocr_rows[i] for i in np.nonzero(hits[:, j])[0]]
+    pair_i: list = []
+    pair_j: list = []
+    block = max(1, 4_000_000 // max(n_cells, 1))
+    any_hit = np.zeros(n_ocr, dtype=bool)
+    for s in range(0, n_ocr, block):
+        e = min(s + block, n_ocr)
+        ox0, oy0, ox1, oy1 = (ob[s:e, k][:, None] for k in range(4))
+        overlap = ~((ox1 < cx0) | (ox0 > cx1) | (oy1 < cy0) | (oy0 > cy1))
+        iw = np.maximum(np.minimum(ox1, cx1) - np.maximum(ox0, cx0), 0.0)
+        ih = np.maximum(np.minimum(oy1, cy1) - np.maximum(oy0, cy0), 0.0)
+        inter = iw * ih
+        area_o = (ox1 - ox0) * (oy1 - oy0)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out_ratio = np.where(area_o > 0, (area_o - inter) / area_o, 0.0)
+            union = area_o + area_c - inter
+            iou = np.where(union == 0, 1.0, inter / union)
+        hits = overlap & ((out_ratio < 0.6) | (iou > 0.8))
+        ii, jj = np.nonzero(hits)
+        pair_i.append(ii + s)
+        pair_j.append(jj)
+        any_hit[s:e] = hits.any(axis=1)
+
+    ii = np.concatenate(pair_i) if pair_i else np.zeros(0, dtype=int)
+    jj = np.concatenate(pair_j) if pair_j else np.zeros(0, dtype=int)
+    # group by cell, preserving OCR scan order within each cell (stable sort)
+    order = np.argsort(jj, kind="stable")
+    for k in order:
+        matched.setdefault(int(jj[k]), []).append(ocr_rows[int(ii[k])])
     unmatched = [ocr_rows[i] for i in np.nonzero(~any_hit)[0]]
     return matched, unmatched
 

@@ -72,3 +72,20 @@ def test_poisoned_fragment_degrades_in_spark_stage(spark):
     # oversized grid claim degrades to an error row with empty output
     assert out[1].table_kind == "error" and "too large" in out[1].error
     assert out[1].pred_html == "<html><body><table></table></body></html>"
+
+
+def test_large_legit_table_processes_correctly():
+    """A 60x40 (2400-cell) table goes through the full kernel and round-trips
+    (regression for the dense-pair-matrix memory blowup in OCR matching)."""
+    from tablestructurerec_spark.core.html_parse import parse_table_html
+    from tablestructurerec_spark.core.pipeline import process_table_html
+
+    rows = [
+        "<tr>" + "".join(f"<td>r{r}c{c}</td>" for c in range(40)) + "</tr>"
+        for r in range(60)
+    ]
+    out = process_table_html("<table>" + "".join(rows) + "</table>", 0)
+    assert out is not None and out["n_cells"] == 2400
+    logic, texts = parse_table_html(out["pred_html"])
+    assert len(logic) == 2400
+    assert texts[0] == ["r0c0"] and texts[-1] == ["r59c39"]
