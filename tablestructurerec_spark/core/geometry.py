@@ -217,20 +217,76 @@ def duplicate_box_indices(boxes: Sequence[Sequence[float]]) -> Set[int]:
     """
     dropped: Set[int] = set()
     n = len(boxes)
-    for i in range(n):
-        if i in dropped:
+    if n < 2:
+        return dropped
+    if n <= 64:
+        # small tables: the direct reference scan
+        for i in range(n):
+            if i in dropped:
+                continue
+            for j in range(i + 1, n):
+                if j in dropped:
+                    continue
+                if box_iou(boxes[i], boxes[j]) > 0.8:
+                    dropped.add(j)
+                    continue
+                side = contained_side(boxes[i], boxes[j])
+                if side == 2:
+                    dropped.add(j)
+                elif side == 1:
+                    dropped.add(i)
+        return dropped
+
+    # Large tables: pairs where neither predicate fires can never change the
+    # scan's state, so precompute the candidate pairs with blocked numpy
+    # (identical arithmetic to box_iou / contained_side) and replay the exact
+    # sequential keep-first logic over candidates only — O(N²) vectorized ops
+    # + O(|overlapping pairs|) python, instead of O(N²) python calls.
+    b = np.asarray([list(x[:4]) for x in boxes], dtype=float)
+    x0, y0, x1, y1 = b[:, 0], b[:, 1], b[:, 2], b[:, 3]
+    cand_i: list = []
+    cand_j: list = []
+    block = max(1, 4_000_000 // n)
+    for s in range(0, n, block):
+        e = min(s + block, n)
+        ax0, ay0, ax1, ay1 = (v[s:e][:, None] for v in (x0, y0, x1, y1))
+        bx0, by0, bx1, by1 = (v[None, :] for v in (x0, y0, x1, y1))
+        iw = np.minimum(ax1, bx1) - np.maximum(ax0, bx0)
+        ih = np.minimum(ay1, by1) - np.maximum(ay0, by0)
+        inter = np.maximum(iw, 0.0) * np.maximum(ih, 0.0)
+        area_a = (ax1 - ax0) * (ay1 - ay0)
+        area_b = (bx1 - bx0) * (by1 - by0)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            union = area_a + area_b - inter
+            iou = np.where(union == 0, 1.0, inter / union)
+            ratio_a = np.where(area_a > 0, (area_a - inter) / area_a, 0.0)
+            ratio_b = np.where(area_b > 0, (area_b - inter) / area_b, 0.0)
+        cand = (iou > 0.8) | (ratio_a < 0.2) | (ratio_b < 0.2)
+        ii, jj = np.nonzero(cand)
+        ii = ii + s
+        keep = ii < jj  # pairwise scan visits i < j only
+        cand_i.append(ii[keep])
+        cand_j.append(jj[keep])
+    ii = np.concatenate(cand_i)
+    jj = np.concatenate(cand_j)
+    order = np.lexsort((jj, ii))  # scan order: i ascending, then j ascending
+    # the reference checks `i in dropped` only when the OUTER loop reaches i:
+    # an i dropped mid-scan keeps processing its remaining pairs — replay that
+    cur_i, skip_i = -1, False
+    for k in order:
+        i, j = int(ii[k]), int(jj[k])
+        if i != cur_i:
+            cur_i, skip_i = i, i in dropped
+        if skip_i or j in dropped:
             continue
-        for j in range(i + 1, n):
-            if j in dropped:
-                continue
-            if box_iou(boxes[i], boxes[j]) > 0.8:
-                dropped.add(j)
-                continue
-            side = contained_side(boxes[i], boxes[j])
-            if side == 2:
-                dropped.add(j)
-            elif side == 1:
-                dropped.add(i)
+        if box_iou(boxes[i], boxes[j]) > 0.8:
+            dropped.add(j)
+            continue
+        side = contained_side(boxes[i], boxes[j])
+        if side == 2:
+            dropped.add(j)
+        elif side == 1:
+            dropped.add(i)
     return dropped
 
 
