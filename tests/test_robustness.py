@@ -89,3 +89,24 @@ def test_large_legit_table_processes_correctly():
     logic, texts = parse_table_html(out["pred_html"])
     assert len(logic) == 2400
     assert texts[0] == ["r0c0"] and texts[-1] == ["r59c39"]
+
+
+def test_extraction_plans_tolerate_null_columns(spark):
+    """Real transcript tables carry nulls; every plan must pass them through
+    (null text → filtered by the contains pre-filter, never a crash)."""
+    from tablestructurerec_spark.plans.extract import clean_turns, extract_cells, extract_tables
+
+    rows = [
+        ("c0", 0, "user", None, None, None),
+        ("c0", 1, None, "<table><tr><td>x</td></tr></table>", None, None),
+        ("c0", 2, "assistant", "", "tool-a", None),
+        (None, 3, "user", "plain text no table", None, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    assert clean_turns(df).count() == 4
+    tables = extract_tables(df).collect()
+    assert len(tables) == 1 and tables[0].n_cells == 1 and tables[0].error is None
+    assert extract_cells(df).count() == 1
