@@ -40,22 +40,105 @@ def _ship_package(spark: SparkSession) -> None:
     spark._tsr_shipped = True
 
 
-def _transcripts_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic transcripts over the driver testdata: each document
-    becomes one turn whose text embeds a 2x2 metadata table in the engine's
-    HTML grammar (plus boilerplate) — so extraction output is decidable."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    table_html = F.concat(
-        F.lit("<html><body><table><tr><td rowspan=1 colspan=1>doc "),
-        F.col("doc_id").cast("string"),
-        F.lit("</td><td rowspan=1 colspan=1>"),
-        F.col("lang"),
-        F.lit("</td></tr><tr><td rowspan=1 colspan=1>"),
-        F.col("source"),
-        F.lit("</td><td rowspan=1 colspan=1>"),
-        F.col("n_chars").cast("string"),
-        F.lit("</td></tr></table></body></html>"),
+# ---------------------------------------------------------------------------
+# Deterministic flagship transcripts: each document becomes one turn whose
+# text embeds 1-2 HTML tables (template = doc_id % 6) plus boilerplate.  The
+# templates are written in the engine's renderer-normal form, so the
+# round-trip law render(parse(h)) == h (pinned by tests/test_core_html.py)
+# makes the extraction output byte-decidable by a SQL oracle.  Together they
+# exercise rowspan/colspan > 1, multi-line <br> cells, empty grid slots
+# (<td></td>), fully-covered rows (<tr></tr>) that route WIRELESS (missing
+# span origins -> ref table_cls routing contract), wired span recovery
+# (TableRecover heuristics, ref wired_table_rec/table_recover.py:138-217),
+# and multi-table turns.  Each template is one parts list — literal strings
+# interleaved with document field names — from which BOTH the Spark Column
+# and the DuckDB oracle expression are generated, so they cannot drift.
+# ---------------------------------------------------------------------------
+_FIELDS = ("doc_id", "lang", "source", "n_chars")
+
+_TEMPLATES = [
+    # T0 — wired 2x2, all singleton spans
+    ["<table><tr><td rowspan=1 colspan=1>doc ", "doc_id",
+     "</td><td rowspan=1 colspan=1>", "lang",
+     "</td></tr><tr><td rowspan=1 colspan=1>", "source",
+     "</td><td rowspan=1 colspan=1>", "n_chars", "</td></tr></table>"],
+    # T1 — wired, colspan=2 header over a 2x2 body (3 rows)
+    ["<table><tr><td rowspan=1 colspan=2>doc ", "doc_id", " ", "lang",
+     "</td></tr><tr><td rowspan=1 colspan=1>", "source",
+     "</td><td rowspan=1 colspan=1>", "n_chars",
+     "</td></tr><tr><td rowspan=1 colspan=1>rows</td><td rowspan=1 colspan=1>",
+     "n_chars", "</td></tr></table>"],
+    # T2 — WIRELESS: rowspan=2 pair fully covering row 1 (<tr></tr> has no
+    # span origin) + a <br> multi-line cell
+    ["<table><tr><td rowspan=2 colspan=1>doc ", "doc_id", "<br>", "lang",
+     "</td><td rowspan=2 colspan=1>", "source", " ", "n_chars",
+     "</td></tr><tr></tr></table>"],
+    # T3 — wired with an empty grid slot (bare <td></td>)
+    ["<table><tr><td rowspan=1 colspan=1>doc ", "doc_id",
+     "</td><td rowspan=1 colspan=1>", "lang",
+     "</td></tr><tr><td></td><td rowspan=1 colspan=1>", "source", " ",
+     "n_chars", "</td></tr></table>"],
+    # T4 — wired rowspan=2 in col 0 (TableRecover span fitting recovers it)
+    ["<table><tr><td rowspan=2 colspan=1>doc ", "doc_id",
+     "</td><td rowspan=1 colspan=1>", "lang",
+     "</td></tr><tr><td rowspan=1 colspan=1>", "source", "</td></tr></table>"],
+    # T5 — WIRELESS 3x3: rowspan=2 x colspan=2 block covering row 2
+    ["<table><tr><td rowspan=1 colspan=1>a</td><td rowspan=1 colspan=2>doc ",
+     "doc_id", "</td></tr><tr><td rowspan=2 colspan=1>", "lang",
+     "</td><td rowspan=2 colspan=2>", "source", " ", "n_chars",
+     "</td></tr><tr></tr></table>"],
+]
+# second table appended for doc_id % 3 == 0 turns (multi-table coverage)
+_SECOND_TABLE = ["<table><tr><td rowspan=1 colspan=1>t2</td>"
+                 "<td rowspan=1 colspan=1>", "lang", "</td></tr></table>"]
+
+_TEMPLATE_KIND = ["wired", "wired", "wireless", "wired", "wired", "wireless"]
+# per-template cells in parse order: (row_start, row_end, col_start, col_end)
+_TEMPLATE_CELLS = [
+    [(0, 0, 0, 0), (0, 0, 1, 1), (1, 1, 0, 0), (1, 1, 1, 1)],
+    [(0, 0, 0, 1), (1, 1, 0, 0), (1, 1, 1, 1), (2, 2, 0, 0), (2, 2, 1, 1)],
+    [(0, 1, 0, 0), (0, 1, 1, 1)],
+    [(0, 0, 0, 0), (0, 0, 1, 1), (1, 1, 1, 1)],
+    [(0, 1, 0, 0), (0, 0, 1, 1), (1, 1, 1, 1)],
+    [(0, 0, 0, 0), (0, 0, 1, 2), (1, 2, 0, 0), (1, 2, 1, 2)],
+]
+_SECOND_CELLS = [(0, 0, 0, 0), (0, 0, 1, 1)]
+
+
+def _tpl_col(parts) -> "F.Column":
+    """Spark Column for one template's <table> fragment."""
+    cols = []
+    for p in parts:
+        if p in _FIELDS:
+            cols.append(F.col(p).cast("string"))
+        else:
+            cols.append(F.lit(p))
+    return F.concat(*cols)
+
+
+def _tpl_sql(parts) -> str:
+    """DuckDB expression for the same fragment (|| casts fields implicitly)."""
+    return " || ".join(
+        p if p in _FIELDS else "'" + p.replace("'", "''") + "'" for p in parts
     )
+
+
+def _pick_tpl(builder) -> "F.Column":
+    tmpl = F.col("doc_id") % 6
+    expr = builder(_TEMPLATES[0])
+    out = F.when(tmpl == 0, expr)
+    for i in range(1, 6):
+        out = out.when(tmpl == i, builder(_TEMPLATES[i]))
+    return out
+
+
+def _transcripts_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    table0 = F.concat(F.lit("<html><body>"), _pick_tpl(_tpl_col), F.lit("</body></html>"))
+    table1 = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(F.lit(" <html><body>"), _tpl_col(_SECOND_TABLE), F.lit("</body></html>")),
+    ).otherwise(F.lit(""))
     return docs.select(
         F.col("source").alias("conv_id"),
         F.row_number()
@@ -66,7 +149,8 @@ def _transcripts_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(
             F.col("text"),
             F.lit(" <nav>home | docs</nav> "),
-            table_html,
+            table0,
+            table1,
             F.lit(" <footer>fin</footer>"),
         ).alias("text"),
         F.lit(None).cast("string").alias("tool"),
@@ -104,7 +188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         df = _transcripts_from_documents(spark, sf_dir)
         return extract_tables(df).select(
             "conv_id", "turn_idx", "table_idx", "table_kind", "pred_html", "n_cells"
-        ).orderBy("conv_id", "turn_idx")
+        ).orderBy("conv_id", "turn_idx", "table_idx")
 
     out["flagship_extract"] = flagship_extract
 
@@ -123,7 +207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from tablestructurerec_spark.plans.extract import extract_cells
 
         df = _transcripts_from_documents(spark, sf_dir)
-        return extract_cells(df).orderBy("conv_id", "turn_idx", "cell_id")
+        return extract_cells(df).orderBy("conv_id", "turn_idx", "table_idx", "cell_id")
 
     out["flagship_cells"] = flagship_cells
     return out
@@ -136,42 +220,121 @@ def oracle_sql() -> dict[str, str]:
     out.update(textstats.ORACLE_SQL)
     out.update(dedup.ORACLE_SQL)
     out.update(similarity.ORACLE_SQL)
-    # flagship_extract: the embedded 2x2 metadata table is reconstructed
-    # byte-exactly, so the oracle can re-derive pred_html from documents.
-    out["flagship_extract"] = """
-SELECT source AS conv_id,
-       CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS INT) AS turn_idx,
-       0 AS table_idx,
-       'wired' AS table_kind,
-       '<html><body><table><tr><td rowspan=1 colspan=1>doc ' || doc_id
-       || '</td><td rowspan=1 colspan=1>' || lang
-       || '</td></tr><tr><td rowspan=1 colspan=1>' || source
-       || '</td><td rowspan=1 colspan=1>' || n_chars
-       || '</td></tr></table></body></html>' AS pred_html,
-       4 AS n_cells
-FROM documents
+    out["flagship_extract"] = _flagship_extract_oracle()
+    out["flagship_cells"] = _flagship_cells_oracle()
+    out["s1_clean_turns"] = _clean_turns_oracle()
+    return out
+
+
+# Shared CTE: one row per turn with the doc fields + template id.
+_TURNS_CTE = """
+  SELECT source AS conv_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS INT) AS turn_idx,
+         doc_id, lang, source, n_chars, text,
+         CAST(doc_id % 6 AS INT) AS tmpl
+  FROM documents
+"""
+
+
+def _case_by_tmpl(exprs: list[str], var: str = "tmpl") -> str:
+    arms = " ".join(f"WHEN {i} THEN {e}" for i, e in enumerate(exprs))
+    return f"CASE {var} {arms} END"
+
+
+def _flagship_extract_oracle() -> str:
+    """Round-trip identity oracle: the templates are renderer-normal form,
+    so pred_html must equal the embedded fragment re-wrapped (round-trip law
+    render(parse(h)) == h; spans/routing exercised per _TEMPLATES)."""
+    html_case = _case_by_tmpl([_tpl_sql(t) for t in _TEMPLATES])
+    kind_case = _case_by_tmpl([f"'{k}'" for k in _TEMPLATE_KIND])
+    ncells_case = _case_by_tmpl([str(len(c)) for c in _TEMPLATE_CELLS])
+    return f"""
+WITH turns AS ({_TURNS_CTE})
+SELECT * FROM (
+  SELECT conv_id, turn_idx, 0 AS table_idx, {kind_case} AS table_kind,
+         '<html><body>' || {html_case} || '</body></html>' AS pred_html,
+         {ncells_case} AS n_cells
+  FROM turns
+  UNION ALL
+  SELECT conv_id, turn_idx, 1 AS table_idx, 'wired' AS table_kind,
+         '<html><body>' || {_tpl_sql(_SECOND_TABLE)} || '</body></html>' AS pred_html,
+         {len(_SECOND_CELLS)} AS n_cells
+  FROM turns WHERE doc_id % 3 = 0
+)
+ORDER BY conv_id, turn_idx, table_idx
+"""
+
+
+def _flagship_cells_oracle() -> str:
+    """Per-cell spans + deterministic envelope geometry (col 120 x row 40
+    grid, 2px ocr-fragment insets) — ref-equivalent transform_res envelope
+    semantics (lineless_table_rec/main.py:137-164); cell_id is parse order."""
+    rows = [
+        f"({t}, {i}, {r0}, {r1}, {c0}, {c1})"
+        for t, cells in enumerate(_TEMPLATE_CELLS)
+        for i, (r0, r1, c0, c1) in enumerate(cells)
+    ]
+    rows2 = [
+        f"({i}, {r0}, {r1}, {c0}, {c1})"
+        for i, (r0, r1, c0, c1) in enumerate(_SECOND_CELLS)
+    ]
+    kind_case = _case_by_tmpl([f"'{k}'" for k in _TEMPLATE_KIND], var="t.tmpl")
+    return f"""
+WITH turns AS ({_TURNS_CTE}),
+cells(tmpl, cell_id, r0, r1, c0, c1) AS (VALUES {', '.join(rows)}),
+cells2(cell_id, r0, r1, c0, c1) AS (VALUES {', '.join(rows2)}),
+allcells AS (
+  SELECT t.conv_id, t.turn_idx, 0 AS table_idx, {kind_case} AS table_kind,
+         c.cell_id, c.r0, c.r1, c.c0, c.c1
+  FROM turns t JOIN cells c ON c.tmpl = t.tmpl
+  UNION ALL
+  SELECT t.conv_id, t.turn_idx, 1 AS table_idx, 'wired' AS table_kind,
+         c.cell_id, c.r0, c.r1, c.c0, c.c1
+  FROM turns t CROSS JOIN cells2 c WHERE t.doc_id % 3 = 0
+)
+SELECT conv_id, turn_idx, table_idx, table_kind, cell_id,
+       CAST(c0 * 120 + 2 AS DOUBLE) AS xmin,
+       CAST(r0 * 40 + 2 AS DOUBLE) AS ymin,
+       CAST((c1 + 1) * 120 - 2 AS DOUBLE) AS xmax,
+       CAST((r1 + 1) * 40 - 2 AS DOUBLE) AS ymax,
+       r0 AS row_start, r1 AS row_end, c0 AS col_start, c1 AS col_end
+FROM allcells
+ORDER BY conv_id, turn_idx, table_idx, cell_id
+"""
+
+
+def _clean_turns_oracle() -> str:
+    """DuckDB twin of functions/text.py's strip chain (RE2 lacks the \\1
+    backreference of the block-alternation pattern, so the boilerplate pass
+    expands to one replace per tag — equivalent for non-interleaved blocks,
+    which is all this corpus contains: document text has no markup)."""
+    html_case = _case_by_tmpl([_tpl_sql(t) for t in _TEMPLATES])
+    raw = (
+        "text || ' <nav>home | docs</nav> <html><body>' || "
+        + html_case
+        + " || '</body></html>' || CASE WHEN doc_id % 3 = 0 THEN ' <html><body>' || "
+        + _tpl_sql(_SECOND_TABLE)
+        + " || '</body></html>' ELSE '' END || ' <footer>fin</footer>'"
+    )
+    table_pat = r"(?is)<table\b[^>]*>.*?</table>"
+    steps = [(table_pat, "' '")]
+    steps.append((r"(?s)<!--.*?-->", "''"))
+    for tag in ("script", "style", "nav", "header", "footer", "aside", "noscript"):
+        steps.append((rf"(?is)<{tag}\b[^>]*>.*?</{tag}>", "''"))
+    steps.append((r"<[^>]+>", "' '"))
+    steps.append((r"[ \t\f\v]+", "' '"))
+    steps.append((r" *\n *", "chr(10)"))
+    steps.append((r"\n{2,}", "chr(10)"))
+    steps.append((r"^[\n ]+|[\n ]+$", "''"))
+    expr = "t"
+    for pat, repl in steps:
+        expr = f"regexp_replace({expr}, '{pat}', {repl}, 'g')"
+    return f"""
+WITH turns AS ({_TURNS_CTE}),
+raw AS (SELECT conv_id, turn_idx, {raw} AS t FROM turns)
+SELECT conv_id, turn_idx,
+       {expr} AS main_text,
+       CAST(len(regexp_extract_all(t, '{table_pat}')) AS INT) AS n_tables
+FROM raw
 ORDER BY conv_id, turn_idx
 """
-    # flagship_cells: the per-cell spans of that 2x2 metadata table are fully
-    # determined by the engine's deterministic grid geometry (col 120 x row
-    # 40, 2px ocr-fragment insets) — ref-equivalent envelope semantics
-    # (transform_res, lineless_table_rec/main.py:137-164)
-    out["flagship_cells"] = """
-WITH turns AS (
-  SELECT source AS conv_id,
-         CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS INT) AS turn_idx
-  FROM documents
-), grid(cell_id, r, c) AS (
-  VALUES (0, 0, 0), (1, 0, 1), (2, 1, 0), (3, 1, 1)
-)
-SELECT conv_id, turn_idx,
-       0 AS table_idx, 'wired' AS table_kind, cell_id,
-       CAST(c * 120 + 2 AS DOUBLE) AS xmin,
-       CAST(r * 40 + 2 AS DOUBLE) AS ymin,
-       CAST((c + 1) * 120 - 2 AS DOUBLE) AS xmax,
-       CAST((r + 1) * 40 - 2 AS DOUBLE) AS ymax,
-       r AS row_start, r AS row_end, c AS col_start, c AS col_end
-FROM turns CROSS JOIN grid
-ORDER BY conv_id, turn_idx, cell_id
-"""
-    return out
