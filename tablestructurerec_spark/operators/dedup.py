@@ -279,7 +279,9 @@ ORDER BY doc_a, doc_b
 # ---------------------------------------------------------------------------
 # duplicate components: pair list → groups → representative
 # ---------------------------------------------------------------------------
-def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_dedup_components(
+    spark: SparkSession, sf_dir: str, reliable_checkpoint: bool = False
+) -> DataFrame:
     """Connected components over the MinHash-LSH candidate pairs — the last
     mile of a dedup pipeline: every document in a dup group gets the group's
     min doc_id as ``component``; ``is_representative`` marks the keeper.
@@ -288,20 +290,30 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     relative to the corpus) edge list — each round is one shuffle
     (symmetrized edges joined to current labels, min per vertex), converging
     in O(diameter) rounds, diameter being small for near-dup clusters.  The
-    O(corpus) side only joins in once at the end (broadcast of the
-    component map).  Singleton documents are their own component.
+    O(corpus) side only joins in once at the end — a plain equi-join on
+    doc_id, so AQE broadcasts only when the label map actually fits (at
+    100 TB with high dup rates it is itself billions of rows).  Singleton
+    documents are their own component.
+
+    ``reliable_checkpoint=True`` truncates the iterative lineage through the
+    configured ``spark.sparkContext.setCheckpointDir`` storage instead of
+    executor-local blocks: on a real cluster an executor loss mid-iteration
+    then costs a re-read, not a job failure.  Local default keeps the
+    cheaper localCheckpoint.
     """
+
+    def barrier(df: DataFrame) -> DataFrame:
+        return df.checkpoint() if reliable_checkpoint else df.localCheckpoint()
+
     pairs = q_dedup_minhash_lsh(spark, sf_dir)  # (doc_a, doc_b)
-    edges = (
+    edges = barrier(
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-        .localCheckpoint()  # materialize once; every round re-reads it
-    )
-    labels = (
+    )  # materialize once; every round re-reads it
+    labels = barrier(
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
         .select("doc_id", F.col("doc_id").alias("component"))
-        .localCheckpoint()
     )
     prev_sum = labels.agg(F.sum("component")).collect()[0][0] or 0
     while True:
@@ -328,8 +340,8 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("component"), F.coalesce(F.col("hop_comp"), F.col("component"))
                 ).alias("component"),
             )
-            .localCheckpoint()  # truncate the iterative lineage each round
         )
+        labels = barrier(labels)  # truncate the iterative lineage each round
         # labels only ever decrease, so the sum is a strictly-monotone
         # convergence witness — one cheap aggregate instead of a self-join
         cur_sum = labels.agg(F.sum("component")).collect()[0][0] or 0
@@ -337,7 +349,9 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         prev_sum = cur_sum
     docs = _t(spark, sf_dir, "documents").select("doc_id")
-    out = docs.join(F.broadcast(labels), "doc_id", "left").select(
+    # plain equi-join: the label map is O(docs-in-any-dup-pair) — unbounded
+    # at 100 TB — so let AQE pick broadcast only when it measures small
+    out = docs.join(labels, "doc_id", "left").select(
         "doc_id",
         F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
     )

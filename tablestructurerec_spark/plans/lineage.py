@@ -7,20 +7,26 @@ and metrics tables".  Design (SURVEY.md §4):
   a stable, data-independent partitioning that also *salts* skewed
   conversations across buckets at the granularity that matters (bucket
   count ≫ conversation count per bucket);
-* each bucket is one atomic unit of work: its table output lands under
-  ``out_dir/tables/bucket=<b>/`` (a parquet partition directory, written
-  with dynamic partition overwrite so re-runs are idempotent), and a lineage
-  row (bucket, n_turns, n_tables, wall_s, status, run_id) is appended to
-  ``out_dir/_lineage/``;
+* ONE distributed job per run covers every not-yet-done bucket: the input
+  is scanned ONCE, extraction output lands under
+  ``out_dir/tables/bucket=<b>/`` via ``write.partitionBy("bucket")`` with
+  dynamic partition overwrite (only this run's buckets are replaced, so
+  re-runs are idempotent), and a lineage row
+  (bucket, status, n_turns, n_tables, wall_s, run_id) is appended to
+  ``out_dir/_lineage/`` per bucket;
 * resume = anti-join: buckets whose latest lineage status is ``ok`` are
-  skipped; everything else re-runs.  Crash-mid-bucket leaves no ``ok`` row,
-  so the overwrite re-run is exactly-once at bucket granularity.
+  skipped; everything else re-runs.  A crash mid-write commits nothing (the
+  parquet committer stages to _temporary), leaves no ``ok`` rows, and the
+  next run redoes exactly the unfinished buckets — exactly-once at bucket
+  granularity;
+* metrics cost ~nothing extra at 100 TB: ``n_turns`` comes from a
+  ``groupBy(bucket).count()`` whose scan prunes to the ``conv_id`` column
+  only (a tiny fraction of the bytes of a text-heavy corpus), and
+  ``n_tables`` from the *written* files' parquet footers — the full-width
+  input is read exactly once, by the extraction job itself.
 
-At 100 TB the bucket loop is a driver-side loop over a few thousand
-*distributed jobs*, each scanning only its bucket's partition pruning range —
-the standard Iceberg-style backfill shape.  On Iceberg the same logic rides
-on partition transforms + snapshot commits; parquet directories stand in
-here with identical semantics.
+On Iceberg the same logic rides on partition transforms + snapshot commits;
+parquet directories stand in here with identical semantics.
 """
 
 from __future__ import annotations
@@ -73,32 +79,62 @@ def run_with_lineage(
 ) -> List[int]:
     """Extract all buckets not yet marked ok; returns the buckets processed.
 
-    ``fail_after`` aborts after N buckets (test hook simulating a crash).
+    Single-pass: one distributed write job covers every todo bucket (the
+    input is never re-scanned per bucket).  ``wall_s`` is the run's wall
+    time, recorded on each of the run's lineage rows.
+
+    ``fail_after`` caps the run at N buckets (test hook simulating a crash
+    between runs).
     """
     done = set(completed_buckets(spark, out_dir))
     todo = [b for b in range(n_buckets) if b not in done]
-    src = transcripts.withColumn("bucket", bucket_col(n_buckets))
-    processed: List[int] = []
-    for i, b in enumerate(todo):
-        if fail_after is not None and i >= fail_after:
-            break
-        t0 = time.perf_counter()
-        part = src.where(F.col("bucket") == b).drop("bucket")
-        n_turns = part.count()
-        tables = extract_tables(part)
-        (
-            tables.withColumn("bucket", F.lit(b))
-            .write.mode("overwrite")
-            .parquet(f"{out_dir}/tables/bucket={b}")
+    if fail_after is not None:
+        todo = todo[:fail_after]
+    if not todo:
+        return []
+    t0 = time.perf_counter()
+    src = transcripts.withColumn("bucket", bucket_col(n_buckets)).where(
+        F.col("bucket").isin(todo)
+    )
+    # bucket is a pure function of conv_id, so the output re-derives it —
+    # extract_tables keeps its narrow 3-column projection into mapInPandas
+    tables = extract_tables(src).withColumn("bucket", bucket_col(n_buckets))
+    overwrite_key = "spark.sql.sources.partitionOverwriteMode"
+    old_mode = spark.conf.get(overwrite_key, None)
+    spark.conf.set(overwrite_key, "dynamic")
+    try:
+        tables.write.mode("overwrite").partitionBy("bucket").parquet(
+            f"{out_dir}/tables"
         )
-        n_tables = spark.read.parquet(f"{out_dir}/tables/bucket={b}").count()
-        row = [(b, "ok", n_turns, n_tables, time.perf_counter() - t0, run_id)]
-        spark.createDataFrame(row, LINEAGE_SCHEMA).write.mode("append").parquet(
-            f"{out_dir}/_lineage"
+    finally:
+        if old_mode is None:
+            spark.conf.unset(overwrite_key)
+        else:
+            spark.conf.set(overwrite_key, old_mode)
+    wall = time.perf_counter() - t0
+    # metrics: n_turns prunes the input scan to conv_id only; n_tables counts
+    # the freshly written partitions (parquet footer counts, no data read)
+    n_turns = {
+        r["bucket"]: r["count"] for r in src.groupBy("bucket").count().collect()
+    }
+    try:
+        written = spark.read.parquet(f"{out_dir}/tables").where(
+            F.col("bucket").isin(todo)
         )
-        processed.append(b)
-    return processed
+        n_tables = {
+            r["bucket"]: r["count"]
+            for r in written.groupBy("bucket").count().collect()
+        }
+    except Exception:  # no bucket produced any table
+        n_tables = {}
+    rows = [
+        (b, "ok", n_turns.get(b, 0), n_tables.get(b, 0), wall, run_id) for b in todo
+    ]
+    spark.createDataFrame(rows, LINEAGE_SCHEMA).write.mode("append").parquet(
+        f"{out_dir}/_lineage"
+    )
+    return todo
 
 
 def read_output(spark: SparkSession, out_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{out_dir}/tables/bucket=*")
+    return spark.read.parquet(f"{out_dir}/tables")

@@ -57,6 +57,26 @@ def test_resume_is_noop_when_complete(spark, transcripts, tmp_path):
     assert run_with_lineage(spark, transcripts, out, n_buckets=N_BUCKETS) == []
 
 
+def test_run_is_single_pass_regardless_of_bucket_count(spark, transcripts, tmp_path):
+    """Regression for the per-bucket full-input re-scan: the number of Spark
+    jobs a run launches must not scale with n_buckets (one write job + two
+    count jobs, not O(n_buckets) scans)."""
+    sc = spark.sparkContext
+
+    def jobs_for(n_buckets: int, out: str) -> int:
+        group = f"lineage-{n_buckets}"
+        sc.setJobGroup(group, "single-pass check")
+        try:
+            run_with_lineage(spark, transcripts, out, n_buckets=n_buckets)
+        finally:
+            sc.setJobGroup("", "")
+        return len(sc.statusTracker().getJobIdsForGroup(group))
+
+    j_small = jobs_for(3, str(tmp_path / "s"))
+    j_large = jobs_for(12, str(tmp_path / "l"))
+    assert j_large <= j_small + 1, (j_small, j_large)
+
+
 def test_streaming_extraction_matches_batch(spark, transcripts, tmp_path):
     from tablestructurerec_spark.plans.extract import extract_tables
     from tablestructurerec_spark.streaming.extract_stream import stream_extract_tables

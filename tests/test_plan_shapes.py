@@ -67,6 +67,17 @@ def test_extract_tables_projects_before_udf(spark):
     assert "role" not in plan.split("MapInPandas")[1].split("\n")[0]
 
 
+def test_components_final_join_not_forced_broadcast(spark):
+    """The corpus-side label join must carry no broadcast hint: the label map
+    is unbounded at scale, so AQE must stay free to pick the strategy."""
+    from tablestructurerec_spark.operators.dedup import q_dedup_components
+
+    analyzed = (
+        q_dedup_components(spark, SF)._jdf.queryExecution().analyzed().toString()
+    )
+    assert "ResolvedHint" not in analyzed and "UnresolvedHint" not in analyzed
+
+
 def test_expensive_score_not_in_join_condition(spark):
     """SCALING.md §4b: the jaccard/cosine score must be evaluated in a
     post-join projection (CSE, once per candidate), never inlined into the
