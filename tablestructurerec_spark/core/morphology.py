@@ -36,6 +36,7 @@ from typing import List, Sequence, Tuple
 import numpy as np
 
 __all__ = [
+    "fold_45",
     "close_1d",
     "estimate_skew_angle",
     "rotate_mask",
@@ -81,6 +82,19 @@ def close_1d(mask: np.ndarray, k: int, axis: int) -> np.ndarray:
     return _slide_1d(_slide_1d(m, k, axis, "max"), k, axis, "min").astype(bool)
 
 
+def fold_45(ang: float) -> float:
+    """Fold an angle modulo 90-degree symmetry into [-45, 45], keeping -45
+    as-is — the reference's boundary convention (cal_rotate_angle,
+    table_structure_unet.py:166-172; ImageOrientationCorrector,
+    wired_table_rec/utils/utils.py:550-553 both fold only when strictly
+    beyond the boundary, so exactly -45 must not become +45)."""
+    while ang > 45:
+        ang -= 90
+    while ang < -45:
+        ang += 90
+    return ang
+
+
 def _rect_angle_deg(coords: np.ndarray) -> float:
     """Min-area-rect orientation of a point set, in degrees in [-45, 45]."""
     from .lines import min_area_rect_corners
@@ -89,13 +103,7 @@ def _rect_angle_deg(coords: np.ndarray) -> float:
     e = quad[1] - quad[0]
     if abs(e[0]) < 1e-9 and abs(e[1]) < 1e-9:
         return 0.0
-    ang = math.degrees(math.atan2(e[1], e[0]))
-    # fold modulo the rect's 90-degree symmetry into (-45, 45]
-    while ang > 45:
-        ang -= 90
-    while ang <= -45:
-        ang += 90
-    return ang
+    return fold_45(math.degrees(math.atan2(e[1], e[0])))
 
 
 def estimate_skew_angle(line_mask: np.ndarray) -> float:
@@ -160,6 +168,7 @@ def wired_polygons_from_class_mask(
     enhance_box_line: bool = True,
     rotated_fix: bool = True,
     min_side: float = 15,
+    kernel_shape: Tuple[int, int] | None = None,
 ) -> Tuple[List[np.ndarray], List[np.ndarray]]:
     """The full UNet postprocess composition (table_structure_unet.py:78-143)
     from a class mask (0 bg / 1 h-line / 2 v-line) at original resolution:
@@ -167,6 +176,15 @@ def wired_polygons_from_class_mask(
     split → 1-D CLOSE (k = sqrt(dim)*1.2) → components-to-segments
     (get_table_line) → adjust_lines / final_adjust_lines → rasterize →
     skew estimate; if |angle| > 0.3 rotate, extract cells, un-rotate.
+
+    ``kernel_shape`` is the (h, w) the CLOSE kernel sizes are computed from.
+    The reference sizes them from the MODEL-resolution pred (~768-side)
+    *before* resizing the masks to the original image
+    (table_structure_unet.py:104-120), so a caller feeding an upsampled
+    ONNX mask must pass the model-resolution shape here or the kernels grow
+    ~sqrt(upscale) wider than the reference's.  Default None sizes from the
+    given mask — correct when the mask IS at model resolution, as with the
+    deterministic stub payloads.
 
     Returns (polygons, rotated_polygons) as lists of (4, 2) ccw quads, the
     same pair contract as the reference.
@@ -177,11 +195,12 @@ def wired_polygons_from_class_mask(
 
     pred = np.asarray(pred)
     h, w = pred.shape
+    kh, kw = kernel_shape if kernel_shape is not None else (h, w)
     hmask = pred == 1
     vmask = pred == 2
-    vmask = close_1d(vmask, int(math.sqrt(h) * 1.2), axis=0)
+    vmask = close_1d(vmask, int(math.sqrt(kh) * 1.2), axis=0)
     if enhance_box_line:
-        hmask = close_1d(hmask, int(math.sqrt(w) * 1.2), axis=1)
+        hmask = close_1d(hmask, int(math.sqrt(kw) * 1.2), axis=1)
     rowsegs = mask_to_line_segments(hmask, axis=0, line_w=row)
     colsegs = mask_to_line_segments(vmask, axis=1, line_w=col)
     if enhance_box_line:
@@ -233,11 +252,7 @@ def dominant_line_angle(gray: np.ndarray, edge_thresh: float = 100.0) -> float:
     theta = math.radians(int(theta_idx))
     # line direction is perpendicular to (cos theta, sin theta)
     ang = math.degrees(math.atan2(math.cos(theta), -math.sin(theta))) if math.sin(theta) != 0 else 90.0
-    while ang > 45:
-        ang -= 90
-    while ang <= -45:
-        ang += 90
-    return ang
+    return fold_45(ang)
 
 
 def correct_orientation(img: np.ndarray, edge_thresh: float = 100.0) -> np.ndarray:

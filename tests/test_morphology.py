@@ -340,3 +340,36 @@ def test_resize_img_interpolation_choice():
     out_b, *_ = resize_img(big, (1024, 512))
     out_s, *_ = resize_img(small, (1024, 512))
     assert out_b.shape[0] <= 512 + 1 and out_s.shape[0] >= 100
+
+
+def test_fold_45_boundary_matches_reference_convention():
+    """Ref folds only strictly beyond +/-45 (cal_rotate_angle,
+    table_structure_unet.py:166-172): exactly -45 stays -45."""
+    from tablestructurerec_spark.core.morphology import fold_45
+
+    assert fold_45(-45.0) == -45.0
+    assert fold_45(45.0) == 45.0
+    assert fold_45(46.0) == -44.0
+    assert fold_45(-46.0) == 44.0
+    assert fold_45(135.0) == 45.0
+    assert fold_45(-135.0) == -45.0
+    assert fold_45(90.0) == 0.0
+
+
+def test_close_kernel_sizes_from_model_resolution_shape():
+    """kernel_shape lets an upsampled mask keep the reference's
+    model-resolution CLOSE kernel sizing (table_structure_unet.py:104-120)."""
+    import numpy as np
+
+    from tablestructurerec_spark.core.morphology import wired_polygons_from_class_mask
+
+    # a simple 2x2 grid mask at "original" resolution
+    m = np.zeros((200, 200), dtype=np.uint8)
+    for y in (10, 100, 190):
+        m[y - 1 : y + 1, 10:190] = 1
+    for x in (10, 100, 190):
+        m[10:190, x - 1 : x + 1] = 2
+    base, _ = wired_polygons_from_class_mask(m)
+    sized, _ = wired_polygons_from_class_mask(m, kernel_shape=(96, 96))
+    # both recover the 4 cells; the parameter only changes kernel widths
+    assert len(base) == 4 and len(sized) == 4
