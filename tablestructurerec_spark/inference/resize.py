@@ -95,6 +95,19 @@ def _resample_axis(img: np.ndarray, new_len: int, axis: int, interpolation: str)
             out += a[idx] * wgt
             wsum += wgt
         out /= wsum
+    elif interpolation == "lanczos":
+        # Lanczos4 (cv2 INTER_LANCZOS4 family): sinc(x)*sinc(x/4), 8 taps
+        lo = np.floor(centers).astype(int)
+        out = np.zeros((new_len,) + a.shape[1:], dtype=float)
+        wsum = np.zeros((new_len,) + (1,) * (a.ndim - 1))
+        for t in range(-3, 5):
+            idx = np.clip(lo + t, 0, old_len - 1)
+            x = centers - (lo + t)
+            wgt = np.where(np.abs(x) < 4, np.sinc(x) * np.sinc(x / 4), 0.0)
+            wgt = wgt.reshape((-1,) + (1,) * (a.ndim - 1))
+            out += a[idx] * wgt
+            wsum += wgt
+        out /= wsum
     elif interpolation == "area":
         # fractional box coverage: output i averages src span [i*r, (i+1)*r)
         starts = np.arange(new_len) * ratio
