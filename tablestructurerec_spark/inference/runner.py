@@ -31,6 +31,8 @@ from .decode import decode_quads, select_detections, unwarp_coords
 __all__ = [
     "StubBackend",
     "OnnxBackend",
+    "lore_preprocess",
+    "decode_heads",
     "get_backend",
     "structure_infer",
     "wired_structure_infer",
@@ -82,8 +84,58 @@ class StubBackend:
         return heads
 
 
+LORE_MEAN = np.array([0.408, 0.447, 0.470], dtype=np.float32).reshape(1, 1, 3)
+LORE_STD = np.array([0.289, 0.274, 0.278], dtype=np.float32).reshape(1, 1, 3)
+
+
+def _affine_scale_axis(a: np.ndarray, new_len: int, f: float, axis: int) -> np.ndarray:
+    """1-D bilinear sample of ``dst = src * f`` with warpAffine's mapping
+    (``src = dst / f``, NO half-pixel shift — cv2.warpAffine, unlike
+    cv2.resize) and BORDER_CONSTANT 0 (an out-of-range tap contributes 0,
+    which for a zero border equals cv2's blend)."""
+    a = np.moveaxis(np.asarray(a, dtype=float), axis, 0)
+    old = a.shape[0]
+    src = np.arange(new_len) / f
+    lo = np.floor(src).astype(int)
+    frac = src - lo
+    shape = (-1,) + (1,) * (a.ndim - 1)
+    w0 = ((1 - frac) * ((lo >= 0) & (lo < old))).reshape(shape)
+    w1 = (frac * ((lo + 1 >= 0) & (lo + 1 < old))).reshape(shape)
+    out = a[np.clip(lo, 0, old - 1)] * w0 + a[np.clip(lo + 1, 0, old - 1)] * w1
+    return np.moveaxis(out, 0, axis)
+
+
+def lore_preprocess(img: np.ndarray, inp_h: int = 768, inp_w: int = 768) -> Dict:
+    """M1 — TSRLore.preprocess (ref table_structure_lore.py:35-55), cv2-free.
+
+    Upper-left affine warp (scale ``inp/max(h, w)``, zero border) to
+    ``inp_w x inp_h``, /255, LORE mean/std, HWC→NCHW.  Returns the
+    reference's ``{"img", "meta"}`` dict; ``meta["s"]`` is the span the
+    decode must unwarp with (transform_preds_upper_left).
+    """
+    img = np.asarray(img)
+    if img.ndim == 2:
+        img = np.stack((img,) * 3, axis=-1)
+    h, w = img.shape[:2]
+    s = max(h, w) * 1.0
+    f = min(inp_w, inp_h) / s  # upper_left_affine scale, decode.py:159-167
+    warped = _affine_scale_axis(_affine_scale_axis(img, inp_h, f, 0), inp_w, f, 1)
+    inp = ((warped / 255.0 - LORE_MEAN) / LORE_STD).astype(np.float32)
+    return {
+        "img": inp.transpose(2, 0, 1).reshape(1, 3, inp_h, inp_w),
+        "meta": {"c": (0.0, 0.0), "s": s, "out_height": inp_h // 4, "out_width": inp_w // 4},
+    }
+
+
 class OnnxBackend:
-    """Real ONNXRuntime detect-head session (unavailable in this sandbox)."""
+    """Real ONNXRuntime detect-head session over the numpy preprocess.
+
+    The preprocessing (M1) is real code — :func:`lore_preprocess` — so on a
+    cluster the only additions are the onnxruntime wheel + weights
+    (``--py-files``/``--files``); nothing else changes.  The payload is an
+    npy-packed HWC uint8 BGR array (codec decode from JPEG/PNG bytes is a
+    separate stage — :mod:`.multimodal`'s image decoder).
+    """
 
     name = "onnx"
 
@@ -95,7 +147,7 @@ class OnnxBackend:
                 "onnxruntime is not installed in this environment; distribute "
                 "the wheel + model via --py-files/--files and this backend "
                 "becomes a per-worker ort.InferenceSession over the same "
-                "decode path."
+                "preprocess + decode path."
             ) from exc
         import onnxruntime as ort
 
@@ -104,8 +156,14 @@ class OnnxBackend:
         self._sess = ort.InferenceSession(model_path, sess_options=opts)
 
     def __call__(self, payload: bytes) -> Dict[str, np.ndarray]:  # pragma: no cover
-        img = np.frombuffer(payload, dtype=np.uint8)
-        raise NotImplementedError("image preprocessing requires cv2 (absent here)")
+        img = unpack_class_mask(payload)  # npy wire format, any uint8 array
+        info = lore_preprocess(img)
+        feed = {self._sess.get_inputs()[0].name: info["img"]}
+        hm, st, wh, ax, cr, reg = self._sess.run(None, feed)
+        return {
+            "hm": hm, "st": st, "wh": wh, "ax": ax, "cr": cr, "reg": reg,
+            "meta": info["meta"],
+        }
 
 
 _BACKEND_CACHE: Dict[Tuple[str, str], object] = {}
@@ -126,6 +184,25 @@ INFER_SCHEMA = (
 )
 
 
+def decode_heads(heads: Dict[str, np.ndarray]):
+    """Model heads → (quads (N,8) image-space, logic (N,4) int, scores).
+
+    An onnx backend carries the per-image warp meta (``lore_preprocess``),
+    which sets the unwarp span; the stub's payloads are already in the
+    fixed feature space.
+    """
+    meta = heads.pop("meta", None)
+    span, ow, oh = (
+        (meta["s"], meta["out_width"], meta["out_height"])
+        if meta
+        else (_SPAN, _FEAT_W, _FEAT_H)
+    )
+    dets, logic_feat = decode_quads(heads, k=3000)
+    quads, feat, scores = select_detections(dets, logic_feat)
+    quads = unwarp_coords(quads, span, ow, oh)
+    return quads, snap_and_round_logic(feat), scores
+
+
 def structure_infer(df, backend: str = "stub", model_path: str = ""):
     """DataFrame(conv_id, turn_idx, table_idx, payload:binary) → structures.
 
@@ -144,11 +221,7 @@ def structure_infer(df, backend: str = "stub", model_path: str = ""):
             for conv_id, turn_idx, table_idx, payload in zip(
                 pdf["conv_id"], pdf["turn_idx"], pdf["table_idx"], pdf["payload"]
             ):
-                heads = model(bytes(payload))
-                dets, logic_feat = decode_quads(heads, k=3000)
-                quads, feat, scores = select_detections(dets, logic_feat)
-                quads = unwarp_coords(quads, _SPAN, _FEAT_W, _FEAT_H)
-                logic = snap_and_round_logic(feat)
+                quads, logic, scores = decode_heads(model(bytes(payload)))
                 out["conv_id"].append(conv_id)
                 out["turn_idx"].append(int(turn_idx))
                 out["table_idx"].append(int(table_idx))

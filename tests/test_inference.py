@@ -126,3 +126,54 @@ def test_wired_structure_infer_stage(spark):
         logic = np.asarray(r.logic_points)
         assert logic[:, 1].max() == 2 and logic[:, 3].max() == 3
         assert len(r.cell_quads) == 12 and len(r.cell_quads[0]) == 8
+
+
+def test_lore_preprocess_matches_reference_arithmetic():
+    """M1 (ref table_structure_lore.py:35-55): upper-left warp with scale
+    768/max(h,w), zero border, /255 then LORE mean/std, NCHW."""
+    import numpy as np
+
+    from tablestructurerec_spark.inference.runner import (
+        LORE_MEAN,
+        LORE_STD,
+        lore_preprocess,
+    )
+
+    img = np.full((400, 200, 3), 128, dtype=np.uint8)
+    info = lore_preprocess(img)
+    x, meta = info["img"], info["meta"]
+    assert x.shape == (1, 3, 768, 768) and x.dtype == np.float32
+    assert meta["s"] == 400.0 and meta["out_width"] == 192 and meta["out_height"] == 192
+    want_in = (128 / 255.0 - LORE_MEAN.ravel()) / LORE_STD.ravel()
+    want_border = (0.0 - LORE_MEAN.ravel()) / LORE_STD.ravel()
+    # inside the mapped region (x < 200 * 768/400 = 384)
+    assert np.allclose(x[0, :, 100, 100], want_in, atol=1e-6)
+    # zero-border region normalizes too (warp happens before normalize)
+    assert np.allclose(x[0, :, 100, 500], want_border, atol=1e-6)
+    # warpAffine mapping has no half-pixel shift: dst(0,0) == src(0,0)
+    img2 = np.zeros((100, 100, 3), dtype=np.uint8)
+    img2[0, 0] = 255
+    x2 = lore_preprocess(img2)["img"]
+    assert np.allclose(
+        x2[0, :, 0, 0], (1.0 - LORE_MEAN.ravel()) / LORE_STD.ravel(), atol=1e-6
+    )
+
+
+def test_decode_heads_honors_backend_meta_span():
+    """A backend that returns warp meta (the onnx contract) must unwarp with
+    the per-image span instead of the fixed stub feature space."""
+    import json
+
+    import numpy as np
+
+    from tablestructurerec_spark.inference.runner import StubBackend, decode_heads
+
+    payload = json.dumps({"logic_points": [[0, 0, 0, 0]]}).encode()
+    stub = StubBackend()
+    q_base, l_base, _ = decode_heads(stub(payload))
+    heads = stub(payload)
+    heads["meta"] = {"s": 1536.0, "out_width": 192, "out_height": 192}
+    q_meta, l_meta, _ = decode_heads(heads)
+    # span 1536 vs the stub's 768 -> coordinates exactly 2x, logic unchanged
+    assert np.allclose(np.asarray(q_meta), np.asarray(q_base) * 2.0)
+    assert np.array_equal(l_meta, l_base)
