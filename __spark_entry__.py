@@ -123,10 +123,10 @@ def _tpl_sql(parts) -> str:
     )
 
 
-def _pick_tpl(builder) -> "F.Column":
-    tmpl = F.col("doc_id") % 6
-    expr = builder(_TEMPLATES[0])
-    out = F.when(tmpl == 0, expr)
+def _pick_tpl(builder, tmpl: "F.Column | None" = None) -> "F.Column":
+    if tmpl is None:
+        tmpl = F.col("doc_id") % 6
+    out = F.when(tmpl == 0, builder(_TEMPLATES[0]))
     for i in range(1, 6):
         out = out.when(tmpl == i, builder(_TEMPLATES[i]))
     return out
@@ -210,6 +210,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return extract_cells(df).orderBy("conv_id", "turn_idx", "table_idx", "cell_id")
 
     out["flagship_cells"] = flagship_cells
+
+    def teds_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Distributed TEDS-structure evaluation (mirrors the reference's
+        published eval, README_en.md:46-73): the extraction pipeline's
+        pred_html scored per turn against a golden table (deterministically
+        the NEXT template's structure, so the scores are non-trivial),
+        aggregated per template."""
+        _ship_package(spark)
+        from tablestructurerec_spark.plans.extract import extract_tables
+
+        df = _transcripts_from_documents(spark, sf_dir)
+        preds = extract_tables(df).where(F.col("table_idx") == 0).select(
+            "conv_id", "turn_idx", "pred_html"
+        )
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        golden = docs.select(
+            F.col("source").alias("conv_id"),
+            F.row_number()
+            .over(Window.partitionBy("source").orderBy("doc_id"))
+            .cast("int")
+            .alias("turn_idx"),
+            (F.col("doc_id") % 6).cast("int").alias("tmpl"),
+            F.concat(
+                F.lit("<html><body>"),
+                _pick_tpl(_tpl_col, (F.col("doc_id") + 1) % 6),
+                F.lit("</body></html>"),
+            ).alias("gold_html"),
+        )
+        joined = preds.join(golden, ["conv_id", "turn_idx"]).select(
+            "tmpl", "pred_html", "gold_html"
+        )
+
+        def run(batches):
+            import pandas as pd
+
+            from tablestructurerec_spark.core.teds import structure_similarity
+
+            for pdf in batches:
+                yield pd.DataFrame(
+                    {
+                        "tmpl": pdf["tmpl"],
+                        "teds": [
+                            structure_similarity(p, g)
+                            for p, g in zip(pdf["pred_html"], pdf["gold_html"])
+                        ],
+                    }
+                )
+
+        scored = joined.mapInPandas(run, schema="tmpl int, teds double")
+        return (
+            scored.groupBy("tmpl")
+            .agg(
+                F.count(F.lit(1)).alias("n_turns"),
+                F.round(F.avg("teds"), 6).alias("avg_teds"),
+            )
+            .orderBy("tmpl")
+        )
+
+    out["teds_eval"] = teds_eval
     return out
 
 
@@ -223,7 +282,33 @@ def oracle_sql() -> dict[str, str]:
     out["flagship_extract"] = _flagship_extract_oracle()
     out["flagship_cells"] = _flagship_cells_oracle()
     out["s1_clean_turns"] = _clean_turns_oracle()
+    out["teds_eval"] = _teds_oracle()
     return out
+
+
+def _teds_oracle() -> str:
+    """Span-set TEDS is content-free, so the per-turn score depends only on
+    the (pred template, gold template) pair — six constants this oracle
+    computes at build time WITH THE SAME KERNEL and embeds as literals; the
+    Spark side must reproduce them through the full distributed pipeline
+    (extract → join → per-row TEDS → aggregate)."""
+    from tablestructurerec_spark.core.teds import structure_similarity
+
+    def inst(parts) -> str:
+        return "".join(p if p not in _FIELDS else "7" for p in parts)
+
+    consts = [
+        round(
+            structure_similarity(inst(_TEMPLATES[t]), inst(_TEMPLATES[(t + 1) % 6])), 6
+        )
+        for t in range(6)
+    ]
+    case = _case_by_tmpl([repr(v) for v in consts])
+    return f"""
+WITH turns AS ({_TURNS_CTE})
+SELECT tmpl, COUNT(*) AS n_turns, {case} AS avg_teds
+FROM turns GROUP BY tmpl ORDER BY tmpl
+"""
 
 
 # Shared CTE: one row per turn with the doc fields + template id.
