@@ -58,8 +58,17 @@ _SHINGLES_SQL = (
 # ---------------------------------------------------------------------------
 # MinHash + LSH banded candidate pairs
 # ---------------------------------------------------------------------------
-def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # exchange barrier right after shingling: the 8 signature expressions
+def q_dedup_minhash_lsh(
+    spark: SparkSession,
+    sf_dir: str,
+    n_hashes: int = _N_HASHES,
+    band_rows: int = _BAND_ROWS,
+) -> DataFrame:
+    # ``n_hashes``/``band_rows`` are the production knobs (128 permutations,
+    # 4-8 rows per band in real pipelines; the defaults are bench-sized and
+    # pinned by the DuckDB oracle).  The plan SHAPE is identical at any
+    # size: signatures stay map-side, the self-join is on (band, bucket).
+    # exchange barrier right after shingling: the signature expressions
     # below would otherwise each re-inline (and re-execute) the tokenizer +
     # shingler per document — measured 5x slower without the barrier.
     # (Shingling stays map-side on the scan: at scale the source has many
@@ -78,14 +87,16 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(F.col("sh"), lambda s: F.md5(F.concat(s, F.lit(seed))))
         )
 
-    sigs = [sig(i) for i in range(_N_HASHES)]
+    sigs = [sig(i) for i in range(n_hashes)]
     bands = F.array(
         *[
             F.struct(
                 F.lit(j).alias("band"),
-                F.md5(F.concat_ws("|", sigs[2 * j], sigs[2 * j + 1])).alias("bucket"),
+                F.md5(
+                    F.concat_ws("|", *sigs[j * band_rows : (j + 1) * band_rows])
+                ).alias("bucket"),
             )
-            for j in range(_N_HASHES // _BAND_ROWS)
+            for j in range(n_hashes // band_rows)
         ]
     )
     banded = (

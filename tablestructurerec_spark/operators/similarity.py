@@ -132,12 +132,17 @@ def _plane_weight(p: int, d: int) -> float:
     return v / 32768.0 - 1.0
 
 
-def q_ann_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_ann_lsh_bucket(
+    spark: SparkSession, sf_dir: str, n_planes: int = _N_PLANES
+) -> DataFrame:
+    # ``n_planes`` is the production knob (16-24 planes in real indexes;
+    # the default is bench-sized and pinned by the DuckDB oracle) — the
+    # bucketed plan shape is size-independent.
     emb = _t(spark, sf_dir, "embeddings")
 
     def bucket_bits(col: Column) -> Column:
         bits = []
-        for p in range(_N_PLANES):
+        for p in range(n_planes):
             proj = F.aggregate(
                 F.zip_with(
                     col,
@@ -161,7 +166,7 @@ def q_ann_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(
                 F.array(
                     F.col("bucket"),
-                    *[F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(_N_PLANES)],
+                    *[F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)],
                 )
             ).alias("qbucket"),
         )
@@ -242,7 +247,12 @@ def _sqdist(a: Column, b: Column) -> Column:
     )
 
 
-def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_ann_ivf_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    n_lists: int = _IVF_LISTS,
+    nprobe: int = _IVF_NPROBE,
+) -> DataFrame:
     """IVF ANN: assign every vector to its nearest coarse centroid (the
     deterministic seed vectors vec_id 1..L — k-means-init-style; a trained
     quantizer drops in the same shape), probe the query's nprobe nearest
@@ -251,7 +261,7 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     min of (dist, cid) structs); the probed-list filter is a broadcast
     semi-join, so the exact work touches ~nprobe/L of the data."""
     emb = _t(spark, sf_dir, "embeddings")
-    cents = emb.where((F.col("vec_id") >= 1) & (F.col("vec_id") <= _IVF_LISTS)).select(
+    cents = emb.where((F.col("vec_id") >= 1) & (F.col("vec_id") <= n_lists)).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
     )
     # nearest list per vector: broadcast x centroids, min struct(dist, cid)
@@ -278,7 +288,7 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents.crossJoin(F.broadcast(qv))
         .select("cid", F.round(_sqdist(F.col("cv"), F.col("qemb")), 6).alias("d"))
         .orderBy("d", "cid")
-        .limit(_IVF_NPROBE)
+        .limit(nprobe)
         .select(F.col("cid").alias("list_id"))
     )
     cand = member.where(F.col("vec_id") != 0).join(F.broadcast(probes), "list_id")
