@@ -106,6 +106,10 @@ def main() -> None:
     sf = _sf_number(SF_DIR)
     extract_only = "--extract-only" in sys.argv
 
+    if "--scaling-only" in sys.argv:
+        _scaling_report(sf)
+        return
+
     spark = get_spark(app="tsr-bench", cpus=CPUS)
     spark.sparkContext.setLogLevel("ERROR")
     _ship(spark)
@@ -261,10 +265,19 @@ def _scaling_report(sf: float) -> None:
         res: dict[int, dict] = {}
         for n in levels:
             env = dict(os.environ, SPARK_GRAFT_CPUS=str(n), SPARK_GRAFT_SF_DIR=SF_DIR)
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--extract-only"],
-                env=env, capture_output=True, text=True, check=True,
-            )
+            for attempt in (1, 2):  # one retry: shared-box children can die
+                out = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), "--extract-only"],
+                    env=env, capture_output=True, text=True,
+                )
+                if out.returncode == 0:
+                    break
+                sys.stderr.write(
+                    f"[scaling] local[{n}] child failed (attempt {attempt}):\n"
+                    + out.stderr[-2000:] + "\n"
+                )
+            else:
+                raise RuntimeError(f"local[{n}] child failed twice")
             res[n] = json.loads(out.stdout.strip().splitlines()[-1])
         sweeps.append(res)
 
@@ -281,9 +294,35 @@ def _scaling_report(sf: float) -> None:
         for n in levels
     }
     ceilings = {p: _mp_kernel_ceiling(p) for p in pairs}
+    n_turns = results[pairs[0][0]]["turns"]
+    _render_scaling_md(sf, n_turns, results, effs, eff_min, ceilings, pairs)
+    print(json.dumps({
+        "pairs": {f"{a}->{b}": {"efficiency_median": round(effs[(a, b)], 3),
+                                "efficiency_min": round(eff_min[(a, b)], 3),
+                                "ceiling": round(ceilings[(a, b)], 3)}
+                  for a, b in pairs},
+        "levels": {n: r for n, r in results.items()},
+    }))
+
+
+def _render_scaling_md(sf, n_turns, results, effs, eff_min, ceilings, pairs) -> None:
     os.makedirs(os.path.join(REPO_ROOT, "BENCH"), exist_ok=True)
     md = os.path.join(REPO_ROOT, "BENCH", "BASELINE.md")
-    n_turns = results[pairs[0][0]]["turns"]
+    ratio = {p: min(effs[p] / ceilings[p], 1.0) for p in pairs}
+    if all(r >= 0.97 for r in ratio.values()):
+        verdict = (
+            "Spark reaches the silicon ceiling in both pairs — the single "
+            "socket, not the engine, bounds the higher pair."
+        )
+    else:
+        worst = min(pairs, key=lambda p: ratio[p])
+        verdict = (
+            f"Spark reaches {ratio[worst]:.0%} of the silicon ceiling on the "
+            f"{worst[0]}→{worst[1]} pair this session (the shared box's "
+            "clock/bandwidth contention dominates at full-socket load and "
+            "varies between sessions — compare the Spark/ceiling column, "
+            "not the raw efficiency)."
+        )
     with open(md, "w") as f:
         f.write(
             "# BENCH/BASELINE — measured extraction throughput & scaling\n\n"
@@ -309,21 +348,13 @@ def _scaling_report(sf: float) -> None:
             + "\nNorth-rule target: ≥ 0.8 across N→4N *executors*.  Both "
             "pairs quadruple the core count on ONE socket, so the hardware "
             "ceiling column (the same extraction kernel under plain "
-            "multiprocessing, no Spark) shows what the silicon allows: "
-            "shared turbo clocks and memory bandwidth, not the engine, bound "
-            "the higher pair.  Spark reaches its ceiling in both cases; on a "
-            "real N→4N executor cluster each executor keeps its own clocks "
-            "and page cache and the shuffle-free plan (per-turn mapInPandas "
-            "over input splits, no exchange anywhere) scales with executor "
-            "count.\n"
+            "multiprocessing, no Spark) shows what the silicon allows under "
+            "shared turbo clocks and memory bandwidth.  " + verdict + "  On "
+            "a real N→4N executor cluster each executor keeps its own "
+            "clocks and page cache and the shuffle-free plan (per-turn "
+            "mapInPandas over input splits, no exchange anywhere) scales "
+            "with executor count.\n"
         )
-    print(json.dumps({
-        "pairs": {f"{a}->{b}": {"efficiency_median": round(effs[(a, b)], 3),
-                                "efficiency_min": round(eff_min[(a, b)], 3),
-                                "ceiling": round(ceilings[(a, b)], 3)}
-                  for a, b in pairs},
-        "levels": {n: r for n, r in results.items()},
-    }))
 
 
 if __name__ == "__main__":

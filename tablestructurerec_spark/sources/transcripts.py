@@ -1,0 +1,82 @@
+"""Transcript table source (S1) — polymorphic input, one canonical schema.
+
+The reference's ``LoadImage`` accepts str/Path/bytes/ndarray/PIL and always
+emits the same BGR ndarray contract
+(lineless_table_rec/utils/utils.py:249-341).  The graft's source is the
+transcripts *table*; this module is the same idea one level up: read
+parquet/json/csv (or normalize an existing DataFrame) and always emit the
+canonical transcript schema
+
+    conv_id string, turn_idx int, role string, text string,
+    tool string, ts timestamp
+
+with explicit coercion and hard errors for missing required columns — so
+every downstream plan can rely on the shape exactly as the reference's
+stages rely on the ndarray contract.  Reads stay declarative
+(``spark.read``), so Catalyst keeps predicate pushdown / column pruning /
+partition pruning on the source format.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = ["TRANSCRIPT_FIELDS", "normalize_transcripts", "read_transcripts"]
+
+TRANSCRIPT_FIELDS = {
+    "conv_id": T.StringType(),
+    "turn_idx": T.IntegerType(),
+    "role": T.StringType(),
+    "text": T.StringType(),
+    "tool": T.StringType(),
+    "ts": T.TimestampType(),
+}
+_REQUIRED = ("conv_id", "turn_idx", "text")
+
+
+def normalize_transcripts(df: DataFrame) -> DataFrame:
+    """Coerce any column superset/ordering to the canonical transcript
+    schema; missing optional columns become typed nulls, missing required
+    columns raise with the full list."""
+    missing = [c for c in _REQUIRED if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"transcripts input is missing required columns {missing}; "
+            f"have {df.columns}"
+        )
+    cols = []
+    for name, dtype in TRANSCRIPT_FIELDS.items():
+        if name in df.columns:
+            cols.append(F.col(name).cast(dtype).alias(name))
+        else:
+            cols.append(F.lit(None).cast(dtype).alias(name))
+    return df.select(*cols)
+
+
+def read_transcripts(
+    spark: SparkSession, path: str, fmt: str = "parquet", **options
+) -> DataFrame:
+    """Read a transcripts table in any supported format → canonical schema.
+
+    ``fmt``: parquet (default) | json | csv | orc.  CSV defaults to
+    header=true; json/csv read with an explicit schema (all-string + cast)
+    so malformed rows surface as nulls, not inference surprises.
+    """
+    fmt = fmt.lower()
+    reader = spark.read
+    if fmt == "csv":
+        reader = reader.option("header", options.pop("header", "true"))
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    if fmt in ("json", "csv"):
+        # explicit permissive schema: every declared column as string, cast
+        # in normalize — inference on big corpora is a full extra scan
+        schema = T.StructType(
+            [T.StructField(n, T.StringType(), True) for n in TRANSCRIPT_FIELDS]
+        )
+        df = reader.schema(schema).format(fmt).load(path)
+    else:
+        df = reader.format(fmt).load(path)
+    return normalize_transcripts(df)

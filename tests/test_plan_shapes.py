@@ -94,3 +94,39 @@ def test_expensive_score_not_in_join_condition(spark):
         assert join_lines, fn.__name__
         for line in join_lines:
             assert marker not in line, f"{fn.__name__}: score in join condition"
+
+
+def test_teds_eval_projects_before_udf(spark):
+    """The TEDS scoring UDF's child must carry only (tmpl, pred_html,
+    gold_html) — manual pruning at the mapInPandas boundary."""
+    import __spark_entry__ as entry_mod
+
+    import re
+
+    df = entry_mod.queries()["teds_eval"](spark, SF)
+    plan = _plan(df)
+    # two python stages: extraction (deeper) + TEDS scoring (first in the
+    # top-down plan print); the scoring stage's argument list must carry
+    # exactly the three scoring columns, nothing from the wider join
+    assert plan.count("MapInPandas") == 2
+    scoring_line = plan.split("MapInPandas")[1].split("\n")[0]
+    args = scoring_line.split(")")[0]
+    got = set(re.findall(r"(\w+)#\d+", args))
+    assert got == {"tmpl", "pred_html", "gold_html"}, got
+
+
+def test_reocr_join_not_forced_broadcast(spark):
+    """cells x images are both large at scale: no broadcast hint on the
+    re-OCR join — AQE decides."""
+    from tablestructurerec_spark.plans.reocr import low_confidence_cells
+
+    cells = spark.createDataFrame(
+        [],
+        "conv_id string, turn_idx int, table_idx int, cell_id int, "
+        "quad array<double>, score double, text string",
+    )
+    images = spark.createDataFrame([], "conv_id string, turn_idx int, payload binary")
+    analyzed = (
+        low_confidence_cells(cells, images)._jdf.queryExecution().analyzed().toString()
+    )
+    assert "ResolvedHint" not in analyzed and "UnresolvedHint" not in analyzed
