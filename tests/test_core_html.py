@@ -106,3 +106,70 @@ def test_find_and_strip():
     assert len(tables) == 1
     assert tables[0][0] == [[0, 0, 0, 0]]
     assert strip_boilerplate("a  \t b") == "a b"
+
+
+def test_fast_parse_equivalent_to_stdlib_parser():
+    """The fast tokenizer must produce byte-identical parses to the
+    html.parser path on everything it accepts, and decline (falling back)
+    on everything exotic."""
+    import random
+
+    from tablestructurerec_spark.core.html_parse import (
+        _TableParser,
+        _fast_feed,
+        parse_table_html,
+    )
+
+    def stdlib_parse(h):
+        p = _TableParser()
+        p.feed(h)
+        p.close()
+        return p.cells
+
+    rng = random.Random(11)
+    cases = []
+    # random renderer-normal-ish tables
+    for _ in range(200):
+        rows = []
+        n_r, n_c = rng.randint(1, 4), rng.randint(1, 4)
+        for r in range(n_r):
+            tds = []
+            for c in range(n_c):
+                kind = rng.random()
+                if kind < 0.15:
+                    tds.append("<td></td>")
+                elif kind < 0.3:
+                    tds.append(f"<td rowspan={rng.randint(1,3)} colspan={rng.randint(1,3)}>x{r}{c}</td>")
+                elif kind < 0.4:
+                    tds.append(f"<td>line1<br>line2 {r}</td>")
+                elif kind < 0.5:
+                    tds.append(f'<TD ROWSPAN="2">quoted {c}</TD>')
+                elif kind < 0.6:
+                    tds.append(f"<th>head {c}</th>")
+                else:
+                    tds.append(f"<td>cell {r} {c}</td>")
+            rows.append("<tr>" + "".join(tds) + "</tr>")
+        cases.append("<table>" + "".join(rows) + "</table>")
+    # hostile / exotic snippets (fast path may decline; result must match)
+    cases += [
+        "<table><tr><td>a<b>bold</b>c</td></tr></table>",
+        "<table><tr><td nowrap>x</td></tr></table>",
+        "<table><tr><td rowspan='2'>q</td></tr><tr></tr></table>",
+        "<table><tr><td>a &amp; b</td></tr></table>",
+        "<table><!-- c --><tr><td>x</td></tr></table>",
+        "<table><tr><td>1 < 2</td></tr></table>",
+        "<table><tr><td>a<br/>b</td></tr></table>",
+        "<table border=1><tr><td rowspan=x>bad</td></tr></table>",
+        "<table><tr><td><table><tr><td>inner</td></tr></table></td></tr></table>",
+        "<table><tr><td>unclosed",
+        "<table><td>no tr</td></table>",
+    ]
+    n_fast = 0
+    for h in cases:
+        p = _TableParser()
+        if _fast_feed(p, h):
+            n_fast += 1
+            assert p.cells == stdlib_parse(h), h
+        assert parse_table_html(h) is not None  # fallback path never raises
+    # the fast path must actually engage on the common grammar
+    assert n_fast >= 150, n_fast
