@@ -19,6 +19,7 @@ runs per-table inside ``applyInPandas``; the per-table cell counts are tiny.
 
 from __future__ import annotations
 
+import math
 from typing import Dict, List, Tuple
 
 import numpy as np
@@ -31,7 +32,13 @@ _SPAN_SNAP = 10
 
 
 def _l2(p: np.ndarray, q: np.ndarray) -> float:
-    return float(np.linalg.norm(q - p))
+    # scalar sqrt(dx*dx + dy*dy): the same double-precision operations as
+    # np.linalg.norm on a 2-vector (ref compute_L2, table_recover.py:134-136)
+    # without per-call numpy dispatch — _l2 runs 6x per cell in the span
+    # fitting loops (cross-exec-pinned vs the reference's TableRecover)
+    dx = float(q[0]) - float(p[0])
+    dy = float(q[1]) - float(p[1])
+    return math.sqrt(dx * dx + dy * dy)
 
 
 def cluster_rows(quads: np.ndarray, row_gap: float = _ROW_GAP) -> Dict[int, List[int]]:
