@@ -32,7 +32,15 @@ from pyspark.sql import functions as F
 from ..core.morphology import perspective_crop
 from ..inference.runner import pack_class_mask, unpack_class_mask
 
-__all__ = ["low_confidence_cells", "REOCR_SCHEMA"]
+__all__ = [
+    "low_confidence_cells",
+    "REOCR_SCHEMA",
+    "REC_SCHEMA",
+    "register_ocr_engine",
+    "recognize_crops",
+    "apply_reocr",
+    "re_rec",
+]
 
 REOCR_SCHEMA = (
     "conv_id string, turn_idx int, table_idx int, cell_id int, "
@@ -45,6 +53,7 @@ def low_confidence_cells(
     images: DataFrame,
     score_thresh: float = 0.75,
     pad: int = 10,
+    select_all: bool = False,
 ) -> DataFrame:
     """cells(conv_id, turn_idx, table_idx, cell_id, quad array<double>[8],
     score double, text string) x images(conv_id, turn_idx, payload binary
@@ -52,12 +61,16 @@ def low_confidence_cells(
 
     A cell qualifies when its text is missing/empty (the reference's
     trigger for ``re_rec``) or its score is below ``score_thresh``.
+    Pass ``select_all=True`` for the ``re_rec_high_precise`` mode
+    (wired_table_rec/main.py:203: the map is reset and EVERY polygon is
+    re-cropped and re-recognized, not just the blank ones).
     """
-    low = cells.where(
+    low = cells if select_all else cells.where(
         F.col("text").isNull()
         | (F.col("text") == "")
         | (F.col("score") < score_thresh)
-    ).select("conv_id", "turn_idx", "table_idx", "cell_id", "quad")
+    )
+    low = low.select("conv_id", "turn_idx", "table_idx", "cell_id", "quad")
     src = low.join(
         images.select("conv_id", "turn_idx", "payload"), ["conv_id", "turn_idx"]
     )
@@ -87,3 +100,178 @@ def low_confidence_cells(
             yield pd.DataFrame(out)
 
     return src.mapInPandas(run, schema=REOCR_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# The OCR stage itself + merge-back (the full re_rec loop, distributed)
+# ---------------------------------------------------------------------------
+#
+# The reference's loop (wired_table_rec/main.py:195-223) is: crop+pad each
+# polygon, call self.ocr(pad_img), and write the rec lines back into
+# cell_box_map — with the fill-blank fallback `[poly, "", 1.0]` when OCR
+# returns nothing (main.py:212-215; fill_blank_rec main.py:180-193 is the
+# same fallback applied without re-running OCR).  Distributed shape:
+#
+#   crops = low_confidence_cells(cells, images, select_all=high_precise)
+#   recs  = recognize_crops(crops, engine="...")     # mapInPandas, per-worker engine
+#   out   = apply_reocr(cells, recs, high_precise=…) # left join + fallback
+#
+# One output row per rec line (a cell can yield several) — the downstream
+# A5 gather operator consumes exactly that shape, mirroring the reference's
+# sort_and_gather_ocr_res over the per-cell lists (main.py:169-178).
+
+REC_SCHEMA = (
+    "conv_id string, turn_idx int, table_idx int, cell_id int, "
+    "ocr_box array<double>, rec_text string, rec_score double"
+)
+
+#: name -> zero-arg factory returning ``engine(img) -> [(box4, text, score)]``
+#: where box4 is (xmin, ymin, xmax, ymax) in crop coordinates.  Register a
+#: RapidOCR adapter here on a real cluster; the engine is constructed once
+#: per python worker (same pattern as inference.runner.get_backend).
+OCR_ENGINES = {}
+_OCR_CACHE = {}
+
+
+def register_ocr_engine(name, factory):
+    OCR_ENGINES[name] = factory
+
+
+def _get_ocr(name):
+    if name not in _OCR_CACHE:
+        try:
+            _OCR_CACHE[name] = OCR_ENGINES[name]()
+        except KeyError:
+            raise ValueError(
+                f"unknown OCR engine {name!r}; register_ocr_engine() first"
+            ) from None
+    return _OCR_CACHE[name]
+
+
+def _fake_ocr_engine():
+    """Deterministic stand-in (no OCR model in this container): one rec
+    line per crop derived from the crop's pixel content; crops that are
+    entirely white (blank cells) yield no result — exercising the
+    reference's empty-OCR fallback branch (main.py:212-215)."""
+
+    def run(img: "np.ndarray"):
+        arr = np.asarray(img, dtype=np.float64)
+        if arr.size == 0 or float(arr.min()) >= 250.0:
+            return []
+        h, w = arr.shape[0], arr.shape[1]
+        mean = int(round(float(arr.mean())))
+        return [
+            (
+                (0.0, 0.0, float(w), float(h)),
+                f"rec:{h}x{w}:{mean}",
+                round(1.0 - (mean % 100) / 1000.0, 3),
+            )
+        ]
+
+    return run
+
+
+register_ocr_engine("fake", _fake_ocr_engine)
+
+
+def recognize_crops(crops: DataFrame, engine: str = "fake") -> DataFrame:
+    """OCR each crop payload; one output row per recognized line.
+
+    Arrow-batched ``mapInPandas``; the engine is a per-worker singleton so
+    a real OCR session (onnx/paddle) loads once per executor core, not per
+    batch.  Cells whose OCR comes back empty emit NO row here — the
+    fallback lives in :func:`apply_reocr` (join-side), keeping this stage
+    a pure map.
+    """
+    src = crops.select("conv_id", "turn_idx", "table_idx", "cell_id", "crop")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ocr = _get_ocr(engine)
+        for pdf in batches:
+            out = {k: [] for k in (
+                "conv_id", "turn_idx", "table_idx", "cell_id",
+                "ocr_box", "rec_text", "rec_score",
+            )}
+            for conv_id, turn_idx, table_idx, cell_id, blob in zip(
+                pdf["conv_id"], pdf["turn_idx"], pdf["table_idx"],
+                pdf["cell_id"], pdf["crop"],
+            ):
+                for box, text, score in ocr(unpack_class_mask(blob)):
+                    out["conv_id"].append(conv_id)
+                    out["turn_idx"].append(int(turn_idx))
+                    out["table_idx"].append(int(table_idx))
+                    out["cell_id"].append(int(cell_id))
+                    out["ocr_box"].append([float(v) for v in box])
+                    out["rec_text"].append(str(text))
+                    out["rec_score"].append(float(score))
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(run, schema=REC_SCHEMA)
+
+
+def apply_reocr(
+    cells: DataFrame,
+    recs: DataFrame,
+    score_thresh: float = 0.75,
+    high_precise: bool = False,
+) -> DataFrame:
+    """Merge rec lines back into the cell map — the distributed analogue of
+    the reference's in-place ``cell_box_map`` update.
+
+    * a cell with rec rows → those rows (new box/text/score; several per
+      cell possible, as in the reference where one crop can produce
+      multiple det lines, main.py:216-218);
+    * a selected cell with NO rec rows → the fill-blank row
+      ``(quad-as-box, "", 1.0)`` (main.py:212-215 / fill_blank_rec);
+    * in the default (non-high-precise) mode, unselected cells pass
+      through untouched.
+
+    Plain equi-join on the cell key; recs is usually a small fraction of
+    cells, so AQE picks broadcast when it fits — no forced hint.
+    """
+    key = ["conv_id", "turn_idx", "table_idx", "cell_id"]
+    selected = F.lit(True) if high_precise else (
+        F.col("text").isNull() | (F.col("text") == "") | (F.col("score") < score_thresh)
+    )
+    joined = cells.withColumn("_sel", selected).join(recs, key, "left")
+    # quad (8 floats) -> axis-aligned box for the fallback, like the
+    # reference's box_4_2_poly_to_box_4_1 on the t_ocr_res path.
+    xs = F.array(F.col("quad")[0], F.col("quad")[2], F.col("quad")[4], F.col("quad")[6])
+    ys = F.array(F.col("quad")[1], F.col("quad")[3], F.col("quad")[5], F.col("quad")[7])
+    quad_box = F.array(F.array_min(xs), F.array_min(ys), F.array_max(xs), F.array_max(ys))
+    has_rec = F.col("rec_text").isNotNull()
+    return joined.select(
+        *key,
+        F.col("quad"),
+        F.when(~F.col("_sel"), F.col("text"))
+        .when(has_rec, F.col("rec_text"))
+        .otherwise(F.lit("")).alias("text"),
+        F.when(~F.col("_sel"), F.col("score"))
+        .when(has_rec, F.col("rec_score"))
+        .otherwise(F.lit(1.0)).alias("score"),
+        F.when(F.col("_sel") & has_rec, F.col("ocr_box"))
+        .otherwise(quad_box).alias("ocr_box"),
+        F.col("_sel").alias("rerecognized"),
+    )
+
+
+def re_rec(
+    cells: DataFrame,
+    images: DataFrame,
+    engine: str = "fake",
+    score_thresh: float = 0.75,
+    pad: int = 10,
+    high_precise: bool = False,
+) -> DataFrame:
+    """The full loop: select → crop (M10) → OCR → merge-back.
+
+    ``high_precise=False`` re-recognizes only blank/low-score cells
+    (fill_blank_rec trigger, wired_table_rec/main.py:119);
+    ``high_precise=True`` redoes every cell (re_rec_high_precise,
+    main.py:195-223).
+    """
+    crops = low_confidence_cells(
+        cells, images, score_thresh=score_thresh, pad=pad, select_all=high_precise
+    )
+    recs = recognize_crops(crops, engine=engine)
+    return apply_reocr(cells, recs, score_thresh=score_thresh, high_precise=high_precise)

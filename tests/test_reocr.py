@@ -79,3 +79,77 @@ def test_tall_cell_rot90_rule(spark):
     r = low_confidence_cells(cells, images).collect()[0]
     # 30x90 quad -> rot90 -> 90x30 -> padded 50x110
     assert (r.crop_h, r.crop_w) == (50, 110)
+
+
+def test_re_rec_default_mode_merges_and_passes_through(spark):
+    """Blank/low-score cells get rec lines; confident cells untouched;
+    all-white crops fall back to (quad-box, "", 1.0) — reference
+    wired_table_rec/main.py:212-215."""
+    from tablestructurerec_spark.plans.reocr import re_rec
+
+    img = _img()
+    # paint cell 2's region solid white so the fake engine returns no rec
+    img[60:100, 10:90] = 255
+    images = spark.createDataFrame(
+        [("c", 1, bytearray(pack_class_mask(img)))],
+        "conv_id string, turn_idx int, payload binary",
+    )
+    out = {r.cell_id: r for r in re_rec(_cells(spark), images, engine="fake").collect()}
+    assert len(out) == 3
+    # cell 1: confident -> untouched, not rerecognized
+    assert out[1].text == "ok" and out[1].score == 0.95 and not out[1].rerecognized
+    # cell 0: blank, crop has content -> fake rec text, deterministic
+    assert out[0].rerecognized and out[0].text.startswith("rec:60x100:")
+    assert 0.0 < out[0].score <= 1.0
+    # cell 2: selected but white crop -> fill-blank fallback
+    assert out[2].rerecognized and out[2].text == "" and out[2].score == 1.0
+    assert out[2].ocr_box == [10.0, 60.0, 90.0, 100.0]  # quad -> axis box
+
+
+def test_re_rec_high_precise_redoes_every_cell(spark):
+    """re_rec_high_precise resets the map and re-runs ALL cells
+    (reference main.py:203-207)."""
+    from tablestructurerec_spark.plans.reocr import re_rec
+
+    images = spark.createDataFrame(
+        [("c", 1, bytearray(pack_class_mask(_img())))],
+        "conv_id string, turn_idx int, payload binary",
+    )
+    out = {r.cell_id: r for r in
+           re_rec(_cells(spark), images, high_precise=True).collect()}
+    assert all(out[i].rerecognized for i in (0, 1, 2))
+    # even the previously-confident cell 1 got a fresh rec line
+    assert out[1].text.startswith("rec:")
+
+
+def test_recognize_crops_unknown_engine_raises(spark):
+    from tablestructurerec_spark.plans.reocr import recognize_crops
+    import pytest
+
+    images = spark.createDataFrame(
+        [("c", 1, bytearray(pack_class_mask(_img())))],
+        "conv_id string, turn_idx int, payload binary",
+    )
+    df = recognize_crops(low_confidence_cells(_cells(spark), images), engine="nope")
+    with pytest.raises(Exception, match="unknown OCR engine"):
+        df.collect()
+
+
+def test_apply_reocr_multiline_cell_yields_multiple_rows(spark):
+    """One crop can produce several det lines (main.py:216-218) -> several
+    output rows for that cell, each carrying its own box/text/score."""
+    from tablestructurerec_spark.plans.reocr import apply_reocr
+
+    cells = _cells(spark)
+    recs = spark.createDataFrame(
+        [
+            ("c", 1, 0, 0, [0.0, 0.0, 50.0, 20.0], "line1", 0.9),
+            ("c", 1, 0, 0, [0.0, 20.0, 50.0, 40.0], "line2", 0.8),
+        ],
+        "conv_id string, turn_idx int, table_idx int, cell_id int, "
+        "ocr_box array<double>, rec_text string, rec_score double",
+    )
+    rows = apply_reocr(cells, recs).collect()
+    cell0 = sorted((r.text for r in rows if r.cell_id == 0))
+    assert cell0 == ["line1", "line2"]
+    assert len(rows) == 4  # 2 lines for cell 0 + passthrough 1 + fallback 2
