@@ -269,6 +269,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     out["teds_eval"] = teds_eval
+
+    def reocr_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """apply_reocr merge-back semantics (rec replacement, fill-blank
+        fallback, passthrough, multi-line cells) over a deterministic cell
+        map derived from documents — wired_table_rec/main.py:195-223."""
+        from tablestructurerec_spark.plans.reocr import q_reocr_merge
+
+        return q_reocr_merge(spark, sf_dir)
+
+    out["reocr_merge"] = reocr_merge
     return out
 
 
@@ -283,6 +293,9 @@ def oracle_sql() -> dict[str, str]:
     out["flagship_cells"] = _flagship_cells_oracle()
     out["s1_clean_turns"] = _clean_turns_oracle()
     out["teds_eval"] = _teds_oracle()
+    from tablestructurerec_spark.plans.reocr import REOCR_MERGE_ORACLE
+
+    out["reocr_merge"] = REOCR_MERGE_ORACLE
     return out
 
 

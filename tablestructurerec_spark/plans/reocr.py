@@ -275,3 +275,102 @@ def re_rec(
     )
     recs = recognize_crops(crops, engine=engine)
     return apply_reocr(cells, recs, score_thresh=score_thresh, high_precise=high_precise)
+
+
+# ---------------------------------------------------------------------------
+# Driver-oracle face: apply_reocr over a deterministic cell map derived from
+# the documents table, so the merge-back semantics (rec replacement,
+# fill-blank fallback, passthrough, multi-line rows) are DuckDB-verifiable.
+# ---------------------------------------------------------------------------
+
+def _reocr_inputs(spark, sf_dir: str):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = docs.select(
+        F.col("source").alias("conv_id"),
+        (F.col("doc_id") % 50).cast("int").alias("turn_idx"),
+        F.lit(0).alias("table_idx"),
+        F.col("doc_id").cast("int").alias("cell_id"),
+        F.col("n_chars").cast("double").alias("w"),
+        ((F.col("doc_id") % 100) / F.lit(100.0)).alias("score"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("")).otherwise(
+            F.substring("text", 1, 8)
+        ).alias("text"),
+        F.col("doc_id"),
+    )
+    cells = base.select(
+        "conv_id", "turn_idx", "table_idx", "cell_id",
+        F.array(
+            F.lit(0.0), F.lit(0.0), F.col("w"), F.lit(0.0),
+            F.col("w"), F.lit(20.0), F.lit(0.0), F.lit(20.0),
+        ).alias("quad"),
+        "score", "text",
+    )
+    # rec lines exist only for SELECTED cells (they come from crops of the
+    # selected set in re_rec); every 4th gets one line, every 8th a second.
+    sel = base.where((F.col("text") == "") | (F.col("score") < 0.75))
+    rec1 = sel.where(F.col("doc_id") % 4 == 0).select(
+        "conv_id", "turn_idx", "table_idx", "cell_id",
+        F.array(F.lit(1.0), F.lit(1.0), F.lit(2.0), F.lit(2.0)).alias("ocr_box"),
+        F.concat(F.lit("rec-"), F.col("doc_id")).alias("rec_text"),
+        F.lit(0.9).alias("rec_score"),
+    )
+    rec2 = sel.where(F.col("doc_id") % 8 == 0).select(
+        "conv_id", "turn_idx", "table_idx", "cell_id",
+        F.array(F.lit(1.0), F.lit(21.0), F.lit(2.0), F.lit(22.0)).alias("ocr_box"),
+        F.concat(F.lit("rec2-"), F.col("doc_id")).alias("rec_text"),
+        F.lit(0.8).alias("rec_score"),
+    )
+    return cells, rec1.unionAll(rec2)
+
+
+def q_reocr_merge(spark, sf_dir: str):
+    cells, recs = _reocr_inputs(spark, sf_dir)
+    out = apply_reocr(cells, recs)
+    return out.select(
+        "conv_id", "turn_idx", "table_idx", "cell_id", "text",
+        F.round("score", 6).alias("score"),
+        F.col("ocr_box")[0].alias("ocr_x0"),
+        F.col("ocr_box")[1].alias("ocr_y0"),
+        F.col("ocr_box")[2].alias("ocr_x1"),
+        F.col("ocr_box")[3].alias("ocr_y1"),
+        F.col("rerecognized").cast("int").alias("rerecognized"),
+    ).orderBy("cell_id", "text")
+
+
+REOCR_MERGE_ORACLE = """
+WITH base AS (
+  SELECT source AS conv_id, CAST(doc_id % 50 AS INT) AS turn_idx, 0 AS table_idx,
+         CAST(doc_id AS INT) AS cell_id, CAST(n_chars AS DOUBLE) AS w,
+         (doc_id % 100) / 100.0 AS score,
+         CASE WHEN doc_id % 3 = 0 THEN '' ELSE substr(text, 1, 8) END AS text,
+         doc_id
+  FROM documents
+),
+sel AS (SELECT *, (text = '' OR score < 0.75) AS s FROM base),
+recs AS (
+  SELECT conv_id, turn_idx, table_idx, cell_id,
+         1.0 AS rx0, 1.0 AS ry0, 2.0 AS rx1, 2.0 AS ry1,
+         'rec-' || doc_id AS rec_text, 0.9 AS rec_score
+  FROM sel WHERE s AND doc_id % 4 = 0
+  UNION ALL
+  SELECT conv_id, turn_idx, table_idx, cell_id,
+         1.0, 21.0, 2.0, 22.0, 'rec2-' || doc_id, 0.8
+  FROM sel WHERE s AND doc_id % 8 = 0
+)
+SELECT b.conv_id, b.turn_idx, b.table_idx, b.cell_id,
+       CASE WHEN NOT b.s THEN b.text
+            WHEN r.rec_text IS NOT NULL THEN r.rec_text
+            ELSE '' END AS text,
+       ROUND(CASE WHEN NOT b.s THEN b.score
+            WHEN r.rec_text IS NOT NULL THEN r.rec_score
+            ELSE 1.0 END, 6) AS score,
+       CASE WHEN b.s AND r.rec_text IS NOT NULL THEN r.rx0 ELSE 0.0 END AS ocr_x0,
+       CASE WHEN b.s AND r.rec_text IS NOT NULL THEN r.ry0 ELSE 0.0 END AS ocr_y0,
+       CASE WHEN b.s AND r.rec_text IS NOT NULL THEN r.rx1 ELSE b.w END AS ocr_x1,
+       CASE WHEN b.s AND r.rec_text IS NOT NULL THEN r.ry1 ELSE 20.0 END AS ocr_y1,
+       CAST(b.s AS INT) AS rerecognized
+FROM sel b LEFT JOIN recs r
+  ON b.conv_id = r.conv_id AND b.turn_idx = r.turn_idx
+ AND b.table_idx = r.table_idx AND b.cell_id = r.cell_id
+ORDER BY b.cell_id, text
+"""
