@@ -9,6 +9,9 @@ The reference is batch-only (SURVEY.md §2: no streaming operators), but a
 * ``stream_turn_stats``      — a watermarked sliding-window aggregate of
   turn/table counts per conversation, for ingest monitoring (late turns up
   to 10 minutes).
+* ``stream_conversation_sessions`` — a CUSTOM STATEFUL operator
+  (``applyInPandasWithState`` + event-time timeout): gap-based session
+  assembly per conversation, one row per closed session.
 
 Both run with any source (kafka/files/rate); tests use a file source with
 ``trigger(availableNow=True)``.
@@ -22,7 +25,11 @@ from pyspark.sql import functions as F
 from ..functions.text import has_table_col, n_tables_col
 from ..plans.extract import TABLES_SCHEMA, _extract_batch
 
-__all__ = ["stream_extract_tables", "stream_turn_stats"]
+__all__ = [
+    "stream_extract_tables",
+    "stream_turn_stats",
+    "stream_conversation_sessions",
+]
 
 
 def stream_extract_tables(stream_df: DataFrame) -> DataFrame:
@@ -43,3 +50,92 @@ def stream_turn_stats(stream_df: DataFrame, window: str = "10 minutes") -> DataF
             F.sum(n_tables_col(F.col("text"))).alias("n_tables"),
         )
     )
+
+
+def stream_conversation_sessions(
+    stream_df: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Custom stateful operator: per-conversation session assembly with
+    ``applyInPandasWithState`` (the A1 sessionization contract, streaming).
+
+    A conversation's session stays open in the state store while turns keep
+    arriving; ``gap`` of event-time silence (enforced via event-time timeout
+    against the watermark) closes it and emits ONE row:
+    ``(conv_id, session_start, session_end, n_turns, n_tables)``.
+
+    Scale shape: state is 4 scalars per live conversation — O(live convs),
+    not O(turns); the per-turn table count is computed as a native column
+    BEFORE the stateful stage so the Python side only sums.  RocksDB state
+    store + watermark eviction make this runnable on the 10^12-turn ingest.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_ms = _duration_ms(gap)
+    src = (
+        stream_df.withWatermark("ts", watermark)
+        .select(
+            "conv_id",
+            F.col("ts"),
+            n_tables_col(F.col("text")).alias("n_tab"),
+        )
+    )
+
+    out_schema = (
+        "conv_id string, session_start timestamp, session_end timestamp, "
+        "n_turns long, n_tables long"
+    )
+    state_schema = "n_turns long, n_tables long, start_ms long, last_ms long"
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        (conv_id,) = key
+        if state.hasTimedOut:
+            n_turns, n_tables, start_ms, last_ms = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "conv_id": [conv_id],
+                    "session_start": [pd.Timestamp(start_ms, unit="ms")],
+                    "session_end": [pd.Timestamp(last_ms, unit="ms")],
+                    "n_turns": [n_turns],
+                    "n_tables": [n_tables],
+                }
+            )
+            return
+        n_turns, n_tables, start_ms, last_ms = (
+            state.get if state.exists else (0, 0, None, None)
+        )
+        for pdf in pdfs:
+            ms = (pdf["ts"].astype("int64") // 1_000_000)
+            n_turns += int(len(pdf))
+            n_tables += int(pdf["n_tab"].sum())
+            lo, hi = int(ms.min()), int(ms.max())
+            start_ms = lo if start_ms is None else min(start_ms, lo)
+            last_ms = hi if last_ms is None else max(last_ms, hi)
+        state.update((n_turns, n_tables, start_ms, last_ms))
+        state.setTimeoutTimestamp(last_ms + gap_ms)
+        return
+        yield  # pragma: no cover - make fn a generator on the flush path too
+
+    return src.groupBy("conv_id").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def _duration_ms(s: str) -> int:
+    n, unit = s.split()
+    mult = {
+        "millisecond": 1, "milliseconds": 1,
+        "second": 1000, "seconds": 1000,
+        "minute": 60_000, "minutes": 60_000,
+        "hour": 3_600_000, "hours": 3_600_000,
+        "day": 86_400_000, "days": 86_400_000,
+    }[unit]
+    return int(n) * mult

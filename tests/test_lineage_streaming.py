@@ -132,3 +132,73 @@ def test_streaming_windowed_stats(spark, transcripts, tmp_path):
     batch_map = {(r.window, r.conv_id): r.n_turns for r in batch}
     for r in stats:
         assert batch_map[(r.window, r.conv_id)] == r.n_turns
+
+
+def test_stateful_session_stream(spark, tmp_path):
+    """applyInPandasWithState sessionizer: sessions close after `gap` of
+    event-time silence and survive query restarts via the checkpoint."""
+    import datetime as dt
+
+    from tablestructurerec_spark.streaming.extract_stream import (
+        stream_conversation_sessions,
+    )
+
+    schema = (
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp"
+    )
+    t0 = dt.datetime(2025, 1, 1, 12, 0, 0)
+
+    def turn(conv, i, minutes, text="hi"):
+        return (conv, i, "user", text, None, t0 + dt.timedelta(minutes=minutes))
+
+    src_dir = str(tmp_path / "src")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    phase1 = spark.createDataFrame(
+        [
+            turn("A", 0, 0),
+            turn("A", 1, 3, "x <table><tr><td>1</td></tr></table>"),
+            turn("A", 2, 5),
+            turn("B", 0, 2),
+            turn("B", 1, 4),
+        ],
+        schema,
+    )
+    phase1.coalesce(1).write.mode("append").parquet(src_dir)
+
+    def run_once():
+        stream = spark.readStream.schema(phase1.schema).parquet(src_dir)
+        q = (
+            stream_conversation_sessions(stream, gap="30 minutes", watermark="10 minutes")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run_once()  # watermark still at phase-1 max - 10min: nothing closed yet
+
+    # a much later turn pushes the watermark far past A/B's last+gap
+    spark.createDataFrame([turn("Z", 0, 600)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src_dir)
+    run_once()
+    # one more advance so Z itself also closes
+    spark.createDataFrame([turn("Z2", 0, 1300)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src_dir)
+    run_once()
+
+    got = {r.conv_id: r for r in spark.read.parquet(out_dir).collect()}
+    assert "A" in got and "B" in got and "Z" in got
+    a = got["A"]
+    assert a.n_turns == 3 and a.n_tables == 1
+    assert a.session_start == t0 and a.session_end == t0 + dt.timedelta(minutes=5)
+    b = got["B"]
+    assert b.n_turns == 2 and b.n_tables == 0
+    assert b.session_start == t0 + dt.timedelta(minutes=2)
