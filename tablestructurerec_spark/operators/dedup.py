@@ -28,6 +28,22 @@ __all__ = ["QUERIES", "ORACLE_SQL"]
 _N_HASHES = 8
 _BAND_ROWS = 2  # 4 bands of 2 rows
 
+# Universal-hashing minhash: ONE md5 per shingle (its first 60 bits, folded
+# to 31) and k affine permutations h_i = (A_i*h + B_i) mod (2^61-1).  vs the
+# earlier md5-per-(shingle, permutation) scheme this divides the hash work
+# by k — at production k=128 the signature pass is ~2 orders of magnitude
+# cheaper, and the exchange carries a long array instead of md5 strings.
+# Bounds keep every product under 2^62: A,B < 2^31, h < 2^31 — Spark longs
+# wrap silently and DuckDB BIGINTs error on overflow, so staying in range
+# is what keeps the oracle exact.
+_MINHASH_P = (1 << 61) - 1
+import random as _random
+
+_rng = _random.Random(0xC0FFEE)
+_MINHASH_A = [(_rng.randrange(1, 1 << 31)) | 1 for _ in range(128)]
+_MINHASH_B = [_rng.randrange(0, 1 << 31) for _ in range(128)]
+del _rng
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -74,18 +90,29 @@ def q_dedup_minhash_lsh(
     # (Shingling stays map-side on the scan: at scale the source has many
     # splits; moving it after the exchange lets AQE coalesce the tiny
     # shuffle and serialize the work — measured slower at bench SF.)
+    # ONE md5 per shingle, folded to 31 bits, computed BEFORE the exchange —
+    # the shuffle carries a compact long array and the k permutations after
+    # the barrier are pure integer affine transforms (universal hashing).
+    hv = F.transform(
+        shingles_col(tokens_col(F.col("text"))),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+        % F.lit(1 << 31),
+    )
     docs = (
         _t(spark, sf_dir, "documents")
-        .select("doc_id", shingles_col(tokens_col(F.col("text"))).alias("sh"))
+        .select("doc_id", hv.alias("hv"))
         .repartition("doc_id")
     )
 
     def sig(i: int):
-        seed = f"#{i}"
+        a, b = _MINHASH_A[i], _MINHASH_B[i]
         # NB: single-arg lambda — a 2-arg transform lambda receives (elem, idx)
         return F.array_min(
-            F.transform(F.col("sh"), lambda s: F.md5(F.concat(s, F.lit(seed))))
-        )
+            F.transform(
+                F.col("hv"),
+                lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(_MINHASH_P),
+            )
+        ).cast("string")
 
     sigs = [sig(i) for i in range(n_hashes)]
     bands = F.array(
@@ -124,7 +151,11 @@ def q_dedup_minhash_lsh(
 
 def _minhash_oracle() -> str:
     def sig(i: int) -> str:
-        return f"list_min(list_transform(sh, s -> md5(s || '#{i}')))"
+        a, b = _MINHASH_A[i], _MINHASH_B[i]
+        return (
+            f"list_min(list_transform(hv, h -> (h * {a} + {b}) % {_MINHASH_P}))"
+            "::VARCHAR"
+        )
 
     band_selects = "\nUNION ALL\n".join(
         f"SELECT doc_id, {j} AS band, md5({sig(2 * j)} || '|' || {sig(2 * j + 1)}) AS bucket FROM sh_docs"
@@ -132,7 +163,10 @@ def _minhash_oracle() -> str:
     )
     return f"""
 WITH sh_docs AS (
-  SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents
+  SELECT doc_id,
+         list_transform({_SHINGLES_SQL},
+                        s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % {1 << 31}) AS hv
+  FROM documents
 ), banded AS (
 {band_selects}
 )
