@@ -355,10 +355,14 @@ def q_dedup_components(
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
     )  # materialize once; every round re-reads it
+    # init = round one folded in: component = min(self, min neighbor).  For
+    # clique-shaped dup groups (the common near-dup case) this is already
+    # the fixpoint, so the loop runs once to detect convergence instead of
+    # propagate + detect — one fewer join+barrier+action round.
     labels = barrier(
-        edges.select(F.col("src").alias("doc_id"))
-        .distinct()
-        .select("doc_id", F.col("doc_id").alias("component"))
+        edges.groupBy("src")
+        .agg(F.least(F.first("src"), F.min("dst")).alias("component"))
+        .select(F.col("src").alias("doc_id"), "component")
     )
     prev_sum = labels.agg(F.sum("component")).collect()[0][0] or 0
     while True:
