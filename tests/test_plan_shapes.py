@@ -130,3 +130,13 @@ def test_reocr_join_not_forced_broadcast(spark):
         low_confidence_cells(cells, images)._jdf.queryExecution().analyzed().toString()
     )
     assert "ResolvedHint" not in analyzed and "UnresolvedHint" not in analyzed
+
+
+def test_reocr_merge_is_pure_catalyst(spark):
+    """The merge-back face is relational end-to-end — no Python stage; the
+    documents scan prunes to the consumed columns only."""
+    from tablestructurerec_spark.plans.reocr import q_reocr_merge
+
+    plan = _plan(q_reocr_merge(spark, SF))
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    assert "lang" not in plan  # unused column never read
