@@ -60,12 +60,25 @@ def read_transcripts(
 ) -> DataFrame:
     """Read a transcripts table in any supported format → canonical schema.
 
-    ``fmt``: parquet (default) | json | csv | orc.  CSV defaults to
-    header=true; json/csv read with an explicit schema (all-string + cast)
-    so malformed rows surface as nulls, not inference surprises.
+    ``fmt``: parquet (default) | json | csv | orc | table | iceberg.
+    CSV defaults to header=true; json/csv read with an explicit schema
+    (all-string + cast) so malformed rows surface as nulls, not inference
+    surprises.
+
+    ``table``/``iceberg`` treat ``path`` as a catalog table name
+    (``catalog.db.transcripts``) and read through ``spark.read.table`` —
+    with an Iceberg catalog configured (``spark.sql.catalog.<name>`` +
+    the iceberg-spark-runtime jar on a real cluster) this is the Iceberg
+    read path, and Catalyst keeps partition pruning, hidden-partition
+    transforms, and snapshot metadata.  Options pass through, so
+    ``snapshot-id`` / ``as-of-timestamp`` give time travel.
     """
     fmt = fmt.lower()
     reader = spark.read
+    if fmt in ("table", "iceberg"):
+        for k, v in options.items():
+            reader = reader.option(k, v)
+        return normalize_transcripts(reader.table(path))
     if fmt == "csv":
         reader = reader.option("header", options.pop("header", "true"))
     for k, v in options.items():

@@ -46,3 +46,15 @@ def test_read_transcripts_format_roundtrip(spark, tmp_path, fmt):
     # same tables (csv/json stringly-typed columns are coerced back)
     want = extract_tables(src).count()
     assert extract_tables(back).count() == want
+
+
+def test_read_transcripts_catalog_table(spark):
+    """fmt='table'/'iceberg' reads a catalog table by name through
+    spark.read.table — the Iceberg path once a catalog is configured;
+    here exercised against the session catalog."""
+    src = synth_transcripts(spark, n_convs=3, mean_turns=3, seed=11)
+    src.createOrReplaceTempView("transcripts_v")
+    back = read_transcripts(spark, "transcripts_v", fmt="table")
+    assert ",".join(back.columns) == CANON
+    assert back.count() == src.count()
+    assert extract_tables(back).count() == extract_tables(src).count()
