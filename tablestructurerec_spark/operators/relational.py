@@ -162,30 +162,67 @@ ORDER BY l_orderkey
 # Expressed as the TPC-H-Q1-shaped partial-agg-friendly groupBy.
 # ---------------------------------------------------------------------------
 def q_a6_grid_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
+    """TRUE A6 semantics (ref lineless_table_rec/main.py:199-238): cells
+    whose logic boxes are IDENTICAL within a table collapse into one — the
+    lowest cell index survives, its pixel box becomes the envelope
+    (min x0/y0, max x1/y1) of the merged set, OCR lists concatenate (here:
+    the member count).  The sequential slot-ownership walk the reference
+    wraps around this is in ``core/html_render.merge_grid_duplicates``
+    (pipeline byte-equality); the merge rule itself is one partial-agg
+    shuffle on (table, logic box) — scale-safe.
+
+    Deterministic cell map from ``documents``: 10 cells per table with
+    small-modulus spans, so duplicate logic boxes occur naturally.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    idx = F.col("doc_id") % 10
+    span = F.when(idx < 2, 1).otherwise(0)  # cells 0,1 are 2x2 spans
+    cells = docs.select(
+        F.floor(F.col("doc_id") / 10).cast("long").alias("table_id"),
+        F.col("doc_id").cast("long").alias("cell_id"),
+        (idx % 2).cast("int").alias("r0"),
+        (idx % 2 + span).cast("int").alias("r1"),
+        (idx % 3).cast("int").alias("c0"),
+        (idx % 3 + span).cast("int").alias("c1"),
+        ((F.col("doc_id") % 7) * 10).cast("double").alias("x0"),
+        ((F.col("doc_id") % 5) * 10).cast("double").alias("y0"),
+        ((F.col("doc_id") % 7) * 10 + 50 + idx).cast("double").alias("x1"),
+        ((F.col("doc_id") % 5) * 10 + 30 + idx).cast("double").alias("y1"),
+    )
     return (
-        li.groupBy("l_returnflag", "l_linestatus")
+        cells.groupBy("table_id", "r0", "r1", "c0", "c1")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.min("l_extendedprice"), 2).alias("env_min"),
-            F.round(F.max("l_extendedprice"), 2).alias("env_max"),
-            F.count(F.lit(1)).alias("count_order"),
+            F.min("cell_id").alias("cell_id"),
+            F.min("x0").alias("x0"),
+            F.min("y0").alias("y0"),
+            F.max("x1").alias("x1"),
+            F.max("y1").alias("y1"),
+            F.count(F.lit(1)).alias("n_merged"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
+        .orderBy("table_id", "cell_id")
     )
 
 
 _A6_SQL = """
-SELECT l_returnflag, l_linestatus,
-       ROUND(SUM(l_quantity), 2)       AS sum_qty,
-       ROUND(SUM(l_extendedprice), 2)  AS sum_base_price,
-       ROUND(MIN(l_extendedprice), 2)  AS env_min,
-       ROUND(MAX(l_extendedprice), 2)  AS env_max,
-       COUNT(*)                        AS count_order
-FROM lineitem
-GROUP BY l_returnflag, l_linestatus
-ORDER BY l_returnflag, l_linestatus
+WITH cells AS (
+  SELECT doc_id // 10 AS table_id, doc_id AS cell_id,
+         CAST(doc_id % 10 % 2 AS INT) AS r0,
+         CAST(doc_id % 10 % 2 + CASE WHEN doc_id % 10 < 2 THEN 1 ELSE 0 END AS INT) AS r1,
+         CAST(doc_id % 10 % 3 AS INT) AS c0,
+         CAST(doc_id % 10 % 3 + CASE WHEN doc_id % 10 < 2 THEN 1 ELSE 0 END AS INT) AS c1,
+         CAST(doc_id % 7 * 10 AS DOUBLE) AS x0,
+         CAST(doc_id % 5 * 10 AS DOUBLE) AS y0,
+         CAST(doc_id % 7 * 10 + 50 + doc_id % 10 AS DOUBLE) AS x1,
+         CAST(doc_id % 5 * 10 + 30 + doc_id % 10 AS DOUBLE) AS y1
+  FROM documents
+)
+SELECT table_id, r0, r1, c0, c1,
+       MIN(cell_id) AS cell_id,
+       MIN(x0) AS x0, MIN(y0) AS y0, MAX(x1) AS x1, MAX(y1) AS y1,
+       COUNT(*) AS n_merged
+FROM cells
+GROUP BY table_id, r0, r1, c0, c1
+ORDER BY table_id, cell_id
 """
 
 
