@@ -12,7 +12,7 @@ import sys
 import zipfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
@@ -139,12 +139,16 @@ def _transcripts_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") % 3 == 0,
         F.concat(F.lit(" <html><body>"), _tpl_col(_SECOND_TABLE), F.lit("</body></html>")),
     ).otherwise(F.lit(""))
+    # conv/turn keys are a pure projection of (source, doc_id) — the earlier
+    # row_number() over a source-partitioned window was a corpus-wide
+    # shuffle+sort on a LOW-CARDINALITY key (a handful of sources → one
+    # giant skewed partition each) sitting in front of the otherwise
+    # shuffle-free extraction plan; at 10^12 turns that window IS the job.
     return docs.select(
-        F.col("source").alias("conv_id"),
-        F.row_number()
-        .over(Window.partitionBy("source").orderBy("doc_id"))
-        .cast("int")
-        .alias("turn_idx"),
+        F.concat(
+            F.col("source"), F.lit("-"), F.floor(F.col("doc_id") / 50).cast("string")
+        ).alias("conv_id"),
+        (F.col("doc_id") % 50 + 1).cast("int").alias("turn_idx"),
         F.lit("assistant").alias("role"),
         F.concat(
             F.col("text"),
@@ -226,11 +230,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         golden = docs.select(
-            F.col("source").alias("conv_id"),
-            F.row_number()
-            .over(Window.partitionBy("source").orderBy("doc_id"))
-            .cast("int")
-            .alias("turn_idx"),
+            F.concat(
+                F.col("source"), F.lit("-"), F.floor(F.col("doc_id") / 50).cast("string")
+            ).alias("conv_id"),
+            (F.col("doc_id") % 50 + 1).cast("int").alias("turn_idx"),
             (F.col("doc_id") % 6).cast("int").alias("tmpl"),
             F.concat(
                 F.lit("<html><body>"),
@@ -326,8 +329,8 @@ FROM turns GROUP BY tmpl ORDER BY tmpl
 
 # Shared CTE: one row per turn with the doc fields + template id.
 _TURNS_CTE = """
-  SELECT source AS conv_id,
-         CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS INT) AS turn_idx,
+  SELECT source || '-' || (doc_id // 50) AS conv_id,
+         CAST(doc_id % 50 + 1 AS INT) AS turn_idx,
          doc_id, lang, source, n_chars, text,
          CAST(doc_id % 6 AS INT) AS tmpl
   FROM documents

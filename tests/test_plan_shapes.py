@@ -140,3 +140,15 @@ def test_reocr_merge_is_pure_catalyst(spark):
     plan = _plan(q_reocr_merge(spark, SF))
     assert "EvalPython" not in plan and "MapInPandas" not in plan
     assert "lang" not in plan  # unused column never read
+
+
+def test_flagship_transcripts_have_no_window_shuffle(spark):
+    """The flagship corpus construction must stay a pure projection — a
+    source-partitioned row_number() here would put a skewed corpus-wide
+    shuffle+sort in front of the otherwise shuffle-free extraction plan."""
+    import __spark_entry__ as entry_mod
+
+    plan = _plan(entry_mod.queries()["flagship_extract"](spark, SF))
+    assert "Window" not in plan
+    # exactly one exchange: the final driver-contract orderBy
+    assert plan.count("Exchange") == 1
