@@ -174,6 +174,40 @@ def _fake_ocr_engine():
 register_ocr_engine("fake", _fake_ocr_engine)
 
 
+def _rapidocr_engine():  # pragma: no cover - needs the rapidocr wheel
+    """Adapter for the engine the reference drives (``rapidocr``,
+    wired_table_rec/main.py:254 + the ``self.ocr(pad_img, use_det=True,
+    use_cls=True, use_rec=True)`` call at main.py:211): constructed once
+    per worker, normalizes rec tuples (quad-or-box, text, score) to the
+    (xmin, ymin, xmax, ymax) box contract.  Lazy import — the wheel is not
+    in this container; registration is unconditional so a cluster with it
+    installed just passes ``engine="rapidocr"``."""
+    import importlib
+
+    ocr = importlib.import_module("rapidocr").RapidOCR()
+
+    def run(img: "np.ndarray"):
+        res, _ = ocr(img, use_det=True, use_cls=True, use_rec=True)
+        out = []
+        for det in res or []:
+            box, text, score = det[0], det[1], det[2]
+            b = np.asarray(box, dtype=float).reshape(-1, 2)
+            out.append(
+                (
+                    (float(b[:, 0].min()), float(b[:, 1].min()),
+                     float(b[:, 0].max()), float(b[:, 1].max())),
+                    text,
+                    float(score),
+                )
+            )
+        return out
+
+    return run
+
+
+register_ocr_engine("rapidocr", _rapidocr_engine)
+
+
 def recognize_crops(crops: DataFrame, engine: str = "fake") -> DataFrame:
     """OCR each crop payload; one output row per recognized line.
 

@@ -153,3 +153,19 @@ def test_apply_reocr_multiline_cell_yields_multiple_rows(spark):
     cell0 = sorted((r.text for r in rows if r.cell_id == 0))
     assert cell0 == ["line1", "line2"]
     assert len(rows) == 4  # 2 lines for cell 0 + passthrough 1 + fallback 2
+
+
+def test_rapidocr_engine_registered_and_lazy():
+    """The rapidocr adapter is registered unconditionally but imports
+    lazily — absent wheel -> clean ImportError at construction, never at
+    module import."""
+    from tablestructurerec_spark.plans import reocr
+
+    assert "rapidocr" in reocr.OCR_ENGINES
+    try:
+        import rapidocr  # noqa: F401
+    except ImportError:
+        import pytest
+
+        with pytest.raises(ImportError):
+            reocr.OCR_ENGINES["rapidocr"]()
