@@ -548,3 +548,57 @@ def test_order_points_and_center_angle_match_reference(ccnet_ns):
         ref_vals = ns["calculate_center_rotate_angle"](box8.tolist())
         my_vals = center_rotate_angle(box8.tolist())
         assert np.allclose(np.asarray(ref_vals, float), np.asarray(my_vals, float), atol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# A6 handle_overlap_row_col (lineless_table_rec/main.py:199-238) — extract
+# the method by AST (main.py imports onnxruntime-backed modules at top
+# level) and compare the grid walk on random record lists.
+# ---------------------------------------------------------------------------
+_A6_REF = "/root/reference/lineless_table_rec/main.py"
+
+
+@pytest.fixture(scope="module")
+def ref_a6():
+    tree = ast.parse(open(_A6_REF).read())
+    ns = {}
+    for node in tree.body:
+        if isinstance(node, ast.ClassDef):
+            for sub in node.body:
+                if isinstance(sub, ast.FunctionDef) and sub.name == "handle_overlap_row_col":
+                    exec(compile(ast.Module([sub], []), "<ref-a6>", "exec"), ns)
+    assert "handle_overlap_row_col" in ns
+    return ns["handle_overlap_row_col"]
+
+
+def _rand_records(rng, n):
+    recs = []
+    for i in range(n):
+        r0 = rng.randrange(0, 4)
+        c0 = rng.randrange(0, 4)
+        r1 = r0 + rng.randrange(0, 2)
+        c1 = c0 + rng.randrange(0, 2)
+        x0, y0 = rng.randrange(0, 50), rng.randrange(0, 50)
+        recs.append(
+            {
+                "t_logic_box": [r0, r1, c0, c1],
+                "t_box": [x0, y0, x0 + rng.randrange(10, 60), y0 + rng.randrange(10, 60)],
+                "t_ocr_res": [[[x0, y0, x0 + 5, y0 + 5], f"t{i}"]],
+            }
+        )
+    return recs
+
+
+@pytest.mark.skipif(not os.path.exists(_A6_REF), reason="reference not mounted")
+def test_merge_grid_duplicates_matches_reference(ref_a6):
+    from tablestructurerec_spark.core.html_render import merge_grid_duplicates
+
+    rng = random.Random(1234)
+    diverged = 0
+    for _ in range(300):
+        recs = _rand_records(rng, rng.randrange(1, 12))
+        want, _grid = ref_a6(None, copy.deepcopy(recs))
+        got = merge_grid_duplicates(copy.deepcopy(recs))
+        if want != got:
+            diverged += 1
+    assert diverged == 0
