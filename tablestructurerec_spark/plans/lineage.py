@@ -25,8 +25,14 @@ and metrics tables".  Design (SURVEY.md §4):
   ``n_tables`` from the *written* files' parquet footers — the full-width
   input is read exactly once, by the extraction job itself.
 
-On Iceberg the same logic rides on partition transforms + snapshot commits;
-parquet directories stand in here with identical semantics.
+Storage is either a directory (``out_dir`` = path: ``<dir>/tables`` +
+``<dir>/_lineage`` parquet) or a catalog (``out_dir`` = ``catalog:<prefix>``:
+tables ``<prefix>_tables`` + ``<prefix>_lineage`` resolved through the
+session catalog).  The catalog mode is the Iceberg path on a real cluster —
+``INSERT OVERWRITE`` with dynamic partition overwrite maps to an Iceberg
+replace-partitions snapshot commit, and the lineage append to an
+append-files commit; the same code runs against the plain session catalog
+here (tested), only the catalog config differs.
 """
 
 from __future__ import annotations
@@ -48,7 +54,29 @@ def bucket_col(n_buckets: int):
     return F.pmod(F.xxhash64(F.col("conv_id")), F.lit(n_buckets)).cast("int")
 
 
+_CATALOG = "catalog:"
+
+
+def _names(out_dir: str):
+    """(is_catalog, tables_target, lineage_target) for either storage mode."""
+    if out_dir.startswith(_CATALOG):
+        prefix = out_dir[len(_CATALOG):]
+        return True, f"{prefix}_tables", f"{prefix}_lineage"
+    return False, f"{out_dir}/tables", f"{out_dir}/_lineage"
+
+
 def completed_buckets(spark: SparkSession, out_dir: str) -> List[int]:
+    is_cat, _tables, lin_t = _names(out_dir)
+    if is_cat:
+        if not spark.catalog.tableExists(lin_t):
+            return []
+        lin = spark.table(lin_t)
+        ok = lin.where(F.col("status") == "ok").select("bucket").distinct()
+        return sorted(r.bucket for r in ok.collect())
+    return _completed_buckets_path(spark, out_dir)
+
+
+def _completed_buckets_path(spark: SparkSession, out_dir: str) -> List[int]:
     # existence pre-check via the Hadoop FS API where available (avoids the
     # JVM logging an alarming PATH_NOT_FOUND trace on every fresh run); the
     # read itself stays guarded so an unreadable _lineage dir (e.g. only a
@@ -99,13 +127,22 @@ def run_with_lineage(
     # bucket is a pure function of conv_id, so the output re-derives it —
     # extract_tables keeps its narrow 3-column projection into mapInPandas
     tables = extract_tables(src).withColumn("bucket", bucket_col(n_buckets))
+    is_cat, tables_t, lin_t = _names(out_dir)
     overwrite_key = "spark.sql.sources.partitionOverwriteMode"
     old_mode = spark.conf.get(overwrite_key, None)
     spark.conf.set(overwrite_key, "dynamic")
     try:
-        tables.write.mode("overwrite").partitionBy("bucket").parquet(
-            f"{out_dir}/tables"
-        )
+        if is_cat:
+            # catalog mode: INSERT OVERWRITE under dynamic partition
+            # overwrite replaces only this run's bucket partitions — on an
+            # Iceberg catalog this is one replace-partitions snapshot commit
+            if not spark.catalog.tableExists(tables_t):
+                tables.write.partitionBy("bucket").saveAsTable(tables_t)
+            else:
+                cols = spark.table(tables_t).columns  # insertInto is positional
+                tables.select(*cols).write.mode("overwrite").insertInto(tables_t)
+        else:
+            tables.write.mode("overwrite").partitionBy("bucket").parquet(tables_t)
     finally:
         if old_mode is None:
             spark.conf.unset(overwrite_key)
@@ -118,9 +155,7 @@ def run_with_lineage(
         r["bucket"]: r["count"] for r in src.groupBy("bucket").count().collect()
     }
     try:
-        written = spark.read.parquet(f"{out_dir}/tables").where(
-            F.col("bucket").isin(todo)
-        )
+        written = read_output(spark, out_dir).where(F.col("bucket").isin(todo))
         n_tables = {
             r["bucket"]: r["count"]
             for r in written.groupBy("bucket").count().collect()
@@ -130,11 +165,14 @@ def run_with_lineage(
     rows = [
         (b, "ok", n_turns.get(b, 0), n_tables.get(b, 0), wall, run_id) for b in todo
     ]
-    spark.createDataFrame(rows, LINEAGE_SCHEMA).write.mode("append").parquet(
-        f"{out_dir}/_lineage"
-    )
+    lineage = spark.createDataFrame(rows, LINEAGE_SCHEMA)
+    if is_cat:
+        lineage.write.mode("append").saveAsTable(lin_t)
+    else:
+        lineage.write.mode("append").parquet(lin_t)
     return todo
 
 
 def read_output(spark: SparkSession, out_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{out_dir}/tables")
+    is_cat, tables_t, _lin = _names(out_dir)
+    return spark.table(tables_t) if is_cat else spark.read.parquet(tables_t)

@@ -202,3 +202,41 @@ def test_stateful_session_stream(spark, tmp_path):
     b = got["B"]
     assert b.n_turns == 2 and b.n_tables == 0
     assert b.session_start == t0 + dt.timedelta(minutes=2)
+
+
+def test_catalog_mode_crash_then_resume(spark, transcripts):
+    """`catalog:<prefix>` storage: same bucket-granular resume semantics
+    through session-catalog tables (the Iceberg path on a real cluster)."""
+    prefix = "catalog:tsr_test_lineage"
+    for t in ("tsr_test_lineage_tables", "tsr_test_lineage_lineage"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+    first = run_with_lineage(
+        spark, transcripts, prefix, n_buckets=N_BUCKETS, run_id="c1", fail_after=2
+    )
+    assert len(first) == 2
+    assert completed_buckets(spark, prefix) == sorted(first)
+    second = run_with_lineage(spark, transcripts, prefix, n_buckets=N_BUCKETS, run_id="c2")
+    assert sorted(first + second) == list(range(N_BUCKETS))
+
+    got = sorted(
+        (r.conv_id, r.turn_idx, r.table_idx, r.pred_html)
+        for r in read_output(spark, prefix).collect()
+    )
+    # byte-identical to a path-mode one-shot
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        run_with_lineage(spark, transcripts, td, n_buckets=N_BUCKETS, run_id="ref")
+        want = sorted(
+            (r.conv_id, r.turn_idx, r.table_idx, r.pred_html)
+            for r in read_output(spark, td).collect()
+        )
+    assert got == want and len(got) > 0
+
+    lin = spark.table("tsr_test_lineage_lineage")
+    assert lin.where(F.col("status") == "ok").select("bucket").distinct().count() == N_BUCKETS
+    # re-run on complete state is a no-op
+    assert run_with_lineage(spark, transcripts, prefix, n_buckets=N_BUCKETS, run_id="c3") == []
+    for t in ("tsr_test_lineage_tables", "tsr_test_lineage_lineage"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
