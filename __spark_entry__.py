@@ -225,8 +225,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from tablestructurerec_spark.plans.extract import extract_tables
 
         df = _transcripts_from_documents(spark, sf_dir)
+        # the extraction output already carries the logical cells — score
+        # from logic_points directly; only the GOLD side needs an HTML parse
         preds = extract_tables(df).where(F.col("table_idx") == 0).select(
-            "conv_id", "turn_idx", "pred_html"
+            "conv_id", "turn_idx", "logic_points"
         )
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         golden = docs.select(
@@ -242,21 +244,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).alias("gold_html"),
         )
         joined = preds.join(golden, ["conv_id", "turn_idx"]).select(
-            "tmpl", "pred_html", "gold_html"
+            "tmpl", "logic_points", "gold_html"
         )
 
         def run(batches):
             import pandas as pd
 
-            from tablestructurerec_spark.core.teds import structure_similarity
+            from tablestructurerec_spark.core.html_parse import parse_table_html
+            from tablestructurerec_spark.core.teds import structure_similarity_spans
 
             for pdf in batches:
                 yield pd.DataFrame(
                     {
                         "tmpl": pdf["tmpl"],
                         "teds": [
-                            structure_similarity(p, g)
-                            for p, g in zip(pdf["pred_html"], pdf["gold_html"])
+                            structure_similarity_spans(lp, parse_table_html(g)[0])
+                            for lp, g in zip(pdf["logic_points"], pdf["gold_html"])
                         ],
                     }
                 )

@@ -17,24 +17,32 @@ from typing import Tuple
 
 from .html_parse import parse_table_html
 
-__all__ = ["structure_similarity"]
+__all__ = ["structure_similarity", "structure_similarity_spans"]
 
 
 def structure_similarity(pred_html: str, gold_html: str, with_text: bool = False) -> float:
     """Span-set F1 between two table HTML fragments (1.0 = identical)."""
     p_logic, p_texts = parse_table_html(pred_html)
     g_logic, g_texts = parse_table_html(gold_html)
-    if not p_logic and not g_logic:
+    if with_text:
+        p = {(tuple(lp), tuple(t)) for lp, t in zip(p_logic, p_texts)}
+        g = {(tuple(lp), tuple(t)) for lp, t in zip(g_logic, g_texts)}
+        return _span_f1(p, g)
+    return structure_similarity_spans(p_logic, g_logic)
+
+
+def structure_similarity_spans(p_logic, g_logic) -> float:
+    """Structure-only F1 straight from span lists — for callers that already
+    hold the logical cells (the extraction output carries ``logic_points``,
+    so the distributed eval never re-parses its own ``pred_html``)."""
+    return _span_f1({tuple(lp) for lp in p_logic}, {tuple(lp) for lp in g_logic})
+
+
+def _span_f1(p: set, g: set) -> float:
+    if not p and not g:
         return 1.0
-    if not p_logic or not g_logic:
+    if not p or not g:
         return 0.0
-
-    def keyset(logic, texts):
-        if with_text:
-            return {(tuple(lp), tuple(t)) for lp, t in zip(logic, texts)}
-        return {tuple(lp) for lp in logic}
-
-    p, g = keyset(p_logic, p_texts), keyset(g_logic, g_texts)
     tp = len(p & g)
     if tp == 0:
         return 0.0

@@ -97,8 +97,10 @@ def test_expensive_score_not_in_join_condition(spark):
 
 
 def test_teds_eval_projects_before_udf(spark):
-    """The TEDS scoring UDF's child must carry only (tmpl, pred_html,
-    gold_html) — manual pruning at the mapInPandas boundary."""
+    """The TEDS scoring UDF's child must carry only (tmpl, logic_points,
+    gold_html) — manual pruning at the mapInPandas boundary; pred side
+    scores from the extraction's own logic_points, never re-parsing
+    pred_html."""
     import __spark_entry__ as entry_mod
 
     import re
@@ -112,7 +114,7 @@ def test_teds_eval_projects_before_udf(spark):
     scoring_line = plan.split("MapInPandas")[1].split("\n")[0]
     args = scoring_line.split(")")[0]
     got = set(re.findall(r"(\w+)#\d+", args))
-    assert got == {"tmpl", "pred_html", "gold_html"}, got
+    assert got == {"tmpl", "logic_points", "gold_html"}, got
 
 
 def test_reocr_join_not_forced_broadcast(spark):
