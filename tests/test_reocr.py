@@ -169,3 +169,21 @@ def test_rapidocr_engine_registered_and_lazy():
 
         with pytest.raises(ImportError):
             reocr.OCR_ENGINES["rapidocr"]()
+
+
+def test_re_rec_missing_image_falls_back(spark):
+    """A selected cell whose turn has no image payload can't be cropped
+    (inner join drops it from the OCR stage) but still gets the fill-blank
+    row in the merged output — the loop degrades gracefully instead of
+    erroring like the reference's in-process crop would."""
+    from tablestructurerec_spark.plans.reocr import re_rec
+
+    images = spark.createDataFrame(
+        [], "conv_id string, turn_idx int, payload binary"
+    )
+    out = {r.cell_id: r for r in re_rec(_cells(spark), images).collect()}
+    assert len(out) == 3
+    assert out[1].text == "ok" and not out[1].rerecognized  # untouched
+    for cid in (0, 2):  # selected, no crop possible -> fill-blank
+        assert out[cid].rerecognized
+        assert out[cid].text == "" and out[cid].score == 1.0
