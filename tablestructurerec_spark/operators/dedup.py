@@ -149,7 +149,7 @@ def q_dedup_minhash_lsh(
     return pairs.orderBy("doc_a", "doc_b")
 
 
-def _minhash_oracle() -> str:
+def _minhash_oracle(n_hashes: int = _N_HASHES, band_rows: int = _BAND_ROWS) -> str:
     def sig(i: int) -> str:
         a, b = _MINHASH_A[i], _MINHASH_B[i]
         return (
@@ -157,9 +157,14 @@ def _minhash_oracle() -> str:
             "::VARCHAR"
         )
 
+    def bucket(j: int) -> str:
+        return "md5(" + " || '|' || ".join(
+            sig(i) for i in range(j * band_rows, (j + 1) * band_rows)
+        ) + ")"
+
     band_selects = "\nUNION ALL\n".join(
-        f"SELECT doc_id, {j} AS band, md5({sig(2 * j)} || '|' || {sig(2 * j + 1)}) AS bucket FROM sh_docs"
-        for j in range(_N_HASHES // _BAND_ROWS)
+        f"SELECT doc_id, {j} AS band, {bucket(j)} AS bucket FROM sh_docs"
+        for j in range(n_hashes // band_rows)
     )
     return f"""
 WITH sh_docs AS (
@@ -436,8 +441,16 @@ ORDER BY d.doc_id
 """
 
 
+def q_dedup_minhash_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME banded plan at production parameters (128 permutations x
+    16 bands of 8) — driver-oracle-verified, so the production path is
+    correctness-checked, not just timed (bench --minhash-prod)."""
+    return q_dedup_minhash_lsh(spark, sf_dir, n_hashes=128, band_rows=8)
+
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_minhash_prod": q_dedup_minhash_prod,
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_components": q_dedup_components,
@@ -445,6 +458,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLE_SQL: Dict[str, str] = {
     "dedup_minhash_lsh": _minhash_oracle(),
+    "dedup_minhash_prod": _minhash_oracle(n_hashes=128, band_rows=8),
     "dedup_simhash": _simhash_oracle(),
     "dedup_ngram_jaccard": _JACCARD_SQL,
     "dedup_components": _components_oracle(),
