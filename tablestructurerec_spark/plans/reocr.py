@@ -48,6 +48,19 @@ REOCR_SCHEMA = (
 )
 
 
+def _needs_rec(score_thresh: float):
+    """Shared selection predicate: blank text OR low/UNKNOWN confidence.
+    A NULL score must select (coalesce to true) — and the predicate must be
+    the SAME expression in the crop stage and the merge-back, or a
+    null-score cell would be dropped by one and fill-blanked by the other.
+    """
+    return (
+        F.col("text").isNull()
+        | (F.col("text") == "")
+        | F.coalesce(F.col("score") < F.lit(score_thresh), F.lit(True))
+    )
+
+
 def low_confidence_cells(
     cells: DataFrame,
     images: DataFrame,
@@ -65,11 +78,7 @@ def low_confidence_cells(
     (wired_table_rec/main.py:203: the map is reset and EVERY polygon is
     re-cropped and re-recognized, not just the blank ones).
     """
-    low = cells if select_all else cells.where(
-        F.col("text").isNull()
-        | (F.col("text") == "")
-        | (F.col("score") < score_thresh)
-    )
+    low = cells if select_all else cells.where(_needs_rec(score_thresh))
     low = low.select("conv_id", "turn_idx", "table_idx", "cell_id", "quad")
     src = low.join(
         images.select("conv_id", "turn_idx", "payload"), ["conv_id", "turn_idx"]
@@ -264,9 +273,7 @@ def apply_reocr(
     cells, so AQE picks broadcast when it fits — no forced hint.
     """
     key = ["conv_id", "turn_idx", "table_idx", "cell_id"]
-    selected = F.lit(True) if high_precise else (
-        F.col("text").isNull() | (F.col("text") == "") | (F.col("score") < score_thresh)
-    )
+    selected = F.lit(True) if high_precise else _needs_rec(score_thresh)
     joined = cells.withColumn("_sel", selected).join(recs, key, "left")
     # quad (8 floats) -> axis-aligned box for the fallback, like the
     # reference's box_4_2_poly_to_box_4_1 on the t_ocr_res path.

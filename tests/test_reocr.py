@@ -187,3 +187,23 @@ def test_re_rec_missing_image_falls_back(spark):
     for cid in (0, 2):  # selected, no crop possible -> fill-blank
         assert out[cid].rerecognized
         assert out[cid].text == "" and out[cid].score == 1.0
+
+
+def test_null_score_selects_consistently(spark):
+    """NULL score = unknown confidence -> selected for re-OCR in BOTH the
+    crop stage and the merge-back (a mismatch would silently clobber the
+    cell's text with the fill-blank row without ever cropping it)."""
+    from tablestructurerec_spark.plans.reocr import re_rec
+
+    img = _img()
+    images = spark.createDataFrame(
+        [("c", 1, bytearray(pack_class_mask(img)))],
+        "conv_id string, turn_idx int, payload binary",
+    )
+    cells = spark.createDataFrame(
+        [("c", 1, 0, 0, [10.0, 10.0, 90.0, 10.0, 90.0, 50.0, 10.0, 50.0], None, "txt")],
+        "conv_id string, turn_idx int, table_idx int, cell_id int, "
+        "quad array<double>, score double, text string",
+    )
+    (r,) = re_rec(cells, images).collect()
+    assert r.rerecognized and r.text.startswith("rec:")  # cropped AND rec'd
