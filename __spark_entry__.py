@@ -132,6 +132,17 @@ def _pick_tpl(builder, tmpl: "F.Column | None" = None) -> "F.Column":
     return out
 
 
+def _conv_turn_cols():
+    """The flagship conv/turn keying, shared by the transcript builder and
+    teds_eval's golden side — one definition so the eval join cannot
+    silently drift off the corpus keys (the SQL twin is _TURNS_CTE)."""
+    conv = F.concat(
+        F.col("source"), F.lit("-"), F.floor(F.col("doc_id") / 50).cast("string")
+    ).alias("conv_id")
+    turn = (F.col("doc_id") % 50 + 1).cast("int").alias("turn_idx")
+    return conv, turn
+
+
 def _transcripts_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     table0 = F.concat(F.lit("<html><body>"), _pick_tpl(_tpl_col), F.lit("</body></html>"))
@@ -144,11 +155,10 @@ def _transcripts_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shuffle+sort on a LOW-CARDINALITY key (a handful of sources → one
     # giant skewed partition each) sitting in front of the otherwise
     # shuffle-free extraction plan; at 10^12 turns that window IS the job.
+    conv, turn = _conv_turn_cols()
     return docs.select(
-        F.concat(
-            F.col("source"), F.lit("-"), F.floor(F.col("doc_id") / 50).cast("string")
-        ).alias("conv_id"),
-        (F.col("doc_id") % 50 + 1).cast("int").alias("turn_idx"),
+        conv,
+        turn,
         F.lit("assistant").alias("role"),
         F.concat(
             F.col("text"),
@@ -231,11 +241,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "conv_id", "turn_idx", "logic_points"
         )
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        conv, turn = _conv_turn_cols()
         golden = docs.select(
-            F.concat(
-                F.col("source"), F.lit("-"), F.floor(F.col("doc_id") / 50).cast("string")
-            ).alias("conv_id"),
-            (F.col("doc_id") % 50 + 1).cast("int").alias("turn_idx"),
+            conv,
+            turn,
             (F.col("doc_id") % 6).cast("int").alias("tmpl"),
             F.concat(
                 F.lit("<html><body>"),

@@ -144,7 +144,7 @@ class _TableParser(HTMLParser):
 
 
 _FAST_TOKEN_RE = re.compile(r"<(/?)([a-zA-Z][a-zA-Z0-9]*)((?:[^>'\"]|'[^']*'|\"[^\"]*\")*)>")
-_FAST_ATTR_RE = re.compile(r"([a-zA-Z_:][-a-zA-Z0-9_:.]*)\s*(?:=\s*(\"[^\"]*\"|'[^']*'|[^\s/>]+))?")
+_FAST_ATTR_RE = re.compile(r"([a-zA-Z_:][-a-zA-Z0-9_:.]*)\s*(?:=\s*(\"[^\"]*\"|'[^']*'|[^\s>]+))?")
 
 
 def _unquote_attr(v: Optional[str]) -> Optional[str]:
@@ -178,9 +178,17 @@ def _fast_feed(p: _TableParser, html: str) -> bool:
         if closing:
             p.handle_endtag(tag)
             continue
-        selfclose = raw.rstrip().endswith("/")
+        stripped = raw.rstrip()
+        selfclose = stripped.endswith("/")
         if selfclose:
-            raw = raw.rstrip()[:-1]
+            # html.parser folds a trailing '/' into an OPEN unquoted attr
+            # value ('<td rowspan=2/>' -> rowspan="2/", NOT self-closing);
+            # decline those shapes to the stdlib path rather than guess.
+            seg = stripped[:-1].split()
+            tail = seg[-1] if seg else ""
+            if "=" in tail and not tail.endswith(('"', "'")):
+                return False
+            raw = stripped[:-1]
         # _TableParser reads attributes only on td/th; skip the attr regex
         # for tr/br/table/etc (the common case — measured ~10% of the parse)
         if raw and tag in ("td", "th"):

@@ -116,8 +116,12 @@ def fetch(
 
     if target.exists():
         if sha256 and sha256_file(target) != sha256:
-            raise ArtifactError(f"cached {target} fails sha256 pin {sha256}")
-        return str(target)
+            # self-heal: a torn/stale cached copy (pre-atomic writer, partial
+            # rsync) must trigger a re-fetch, not poison the node forever —
+            # the fresh download below is itself pin-checked before install
+            target.unlink()
+        else:
+            return str(target)
 
     try:
         blob = _read_source(str(url))

@@ -191,7 +191,11 @@ def decode_heads(heads: Dict[str, np.ndarray]):
     which sets the unwarp span; the stub's payloads are already in the
     fixed feature space.
     """
-    meta = heads.pop("meta", None)
+    # read, don't pop: a backend may return a cached/shared heads dict, and
+    # mutating it would make a second decode of the same payload silently
+    # fall back to the stub span constants (decode_quads reads named keys,
+    # so the extra "meta" entry is harmless downstream)
+    meta = heads.get("meta", None)
     span, ow, oh = (
         (meta["s"], meta["out_width"], meta["out_height"])
         if meta

@@ -40,6 +40,7 @@ from __future__ import annotations
 import time
 from typing import Iterable, List
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -160,7 +161,7 @@ def run_with_lineage(
             r["bucket"]: r["count"]
             for r in written.groupBy("bucket").count().collect()
         }
-    except Exception:  # no bucket produced any table
+    except AnalysisException:  # no bucket produced any table → nothing written
         n_tables = {}
     rows = [
         (b, "ok", n_turns.get(b, 0), n_tables.get(b, 0), wall, run_id) for b in todo

@@ -80,7 +80,14 @@ def low_confidence_cells(
     """
     low = cells if select_all else cells.where(_needs_rec(score_thresh))
     low = low.select("conv_id", "turn_idx", "table_idx", "cell_id", "quad")
-    src = low.join(
+    # group the selected quads per turn BEFORE joining the image: the
+    # payload (MBs) crosses the exchange once per TURN and is decoded once,
+    # instead of being replicated and re-decoded once per cell (a turn can
+    # have dozens of blank cells; the quads are a few hundred bytes)
+    grouped = low.groupBy("conv_id", "turn_idx").agg(
+        F.collect_list(F.struct("table_idx", "cell_id", "quad")).alias("cells")
+    )
+    src = grouped.join(
         images.select("conv_id", "turn_idx", "payload"), ["conv_id", "turn_idx"]
     )
 
@@ -90,22 +97,25 @@ def low_confidence_cells(
                 "conv_id", "turn_idx", "table_idx", "cell_id",
                 "crop", "crop_h", "crop_w",
             )}
-            for conv_id, turn_idx, table_idx, cell_id, quad, payload in zip(
-                pdf["conv_id"], pdf["turn_idx"], pdf["table_idx"],
-                pdf["cell_id"], pdf["quad"], pdf["payload"],
+            for conv_id, turn_idx, cell_rows, payload in zip(
+                pdf["conv_id"], pdf["turn_idx"], pdf["cells"], pdf["payload"]
             ):
-                img = unpack_class_mask(payload)
-                q = np.asarray(quad, dtype=float).reshape(4, 2)
-                crop = perspective_crop(img, q)
-                spatial = [(pad, pad), (pad, pad)] + [(0, 0)] * (crop.ndim - 2)
-                padded = np.pad(crop, spatial, constant_values=255)
-                out["conv_id"].append(conv_id)
-                out["turn_idx"].append(int(turn_idx))
-                out["table_idx"].append(int(table_idx))
-                out["cell_id"].append(int(cell_id))
-                out["crop"].append(pack_class_mask(padded))
-                out["crop_h"].append(padded.shape[0])
-                out["crop_w"].append(padded.shape[1])
+                img = unpack_class_mask(payload)  # once per turn
+                for cell in cell_rows:  # struct -> dict under Arrow
+                    table_idx, cell_id, quad = (
+                        cell["table_idx"], cell["cell_id"], cell["quad"]
+                    )
+                    q = np.asarray(quad, dtype=float).reshape(4, 2)
+                    crop = perspective_crop(img, q)
+                    spatial = [(pad, pad), (pad, pad)] + [(0, 0)] * (crop.ndim - 2)
+                    padded = np.pad(crop, spatial, constant_values=255)
+                    out["conv_id"].append(conv_id)
+                    out["turn_idx"].append(int(turn_idx))
+                    out["table_idx"].append(int(table_idx))
+                    out["cell_id"].append(int(cell_id))
+                    out["crop"].append(pack_class_mask(padded))
+                    out["crop_h"].append(padded.shape[0])
+                    out["crop_w"].append(padded.shape[1])
             yield pd.DataFrame(out)
 
     return src.mapInPandas(run, schema=REOCR_SCHEMA)
@@ -146,15 +156,27 @@ def register_ocr_engine(name, factory):
     OCR_ENGINES[name] = factory
 
 
-def _get_ocr(name):
-    if name not in _OCR_CACHE:
+def _get_ocr(engine):
+    """Per-worker engine singleton.  ``engine`` is a registry NAME (only
+    works for factories registered at import time of a module shipped to
+    the workers — a ``register_ocr_engine`` call made at runtime on the
+    driver mutates the driver's registry only) or a FACTORY CALLABLE,
+    which travels inside the task closure and therefore always works."""
+    if callable(engine):
+        key = f"{getattr(engine, '__module__', '?')}.{getattr(engine, '__qualname__', repr(engine))}"
+        if key not in _OCR_CACHE:
+            _OCR_CACHE[key] = engine()
+        return _OCR_CACHE[key]
+    if engine not in _OCR_CACHE:
         try:
-            _OCR_CACHE[name] = OCR_ENGINES[name]()
+            _OCR_CACHE[engine] = OCR_ENGINES[engine]()
         except KeyError:
             raise ValueError(
-                f"unknown OCR engine {name!r}; register_ocr_engine() first"
+                f"unknown OCR engine {engine!r}; pass the factory callable "
+                "itself, or register_ocr_engine() at import time in a "
+                "module shipped to the workers"
             ) from None
-    return _OCR_CACHE[name]
+    return _OCR_CACHE[engine]
 
 
 def _fake_ocr_engine():
@@ -217,7 +239,7 @@ def _rapidocr_engine():  # pragma: no cover - needs the rapidocr wheel
 register_ocr_engine("rapidocr", _rapidocr_engine)
 
 
-def recognize_crops(crops: DataFrame, engine: str = "fake") -> DataFrame:
+def recognize_crops(crops: DataFrame, engine="fake") -> DataFrame:
     """OCR each crop payload; one output row per recognized line.
 
     Arrow-batched ``mapInPandas``; the engine is a per-worker singleton so
@@ -299,7 +321,7 @@ def apply_reocr(
 def re_rec(
     cells: DataFrame,
     images: DataFrame,
-    engine: str = "fake",
+    engine="fake",
     score_thresh: float = 0.75,
     pad: int = 10,
     high_precise: bool = False,

@@ -91,34 +91,49 @@ def stream_conversation_sessions(
     def fn(key, pdfs, state):
         import pandas as pd
 
-        (conv_id,) = key
-        if state.hasTimedOut:
-            n_turns, n_tables, start_ms, last_ms = state.get
-            state.remove()
-            yield pd.DataFrame(
+        def frame(sessions):
+            return pd.DataFrame(
                 {
-                    "conv_id": [conv_id],
-                    "session_start": [pd.Timestamp(start_ms, unit="ms")],
-                    "session_end": [pd.Timestamp(last_ms, unit="ms")],
-                    "n_turns": [n_turns],
-                    "n_tables": [n_tables],
+                    "conv_id": [conv_id] * len(sessions),
+                    "session_start": [pd.Timestamp(s[2], unit="ms") for s in sessions],
+                    "session_end": [pd.Timestamp(s[3], unit="ms") for s in sessions],
+                    "n_turns": [s[0] for s in sessions],
+                    "n_tables": [s[1] for s in sessions],
                 }
             )
+
+        (conv_id,) = key
+        if state.hasTimedOut:
+            closed = [list(state.get)]
+            state.remove()
+            yield frame(closed)
             return
-        n_turns, n_tables, start_ms, last_ms = (
-            state.get if state.exists else (0, 0, None, None)
-        )
+        cur = list(state.get) if state.exists else None  # [n_turns, n_tables, start, last]
+        closed = []
+        # sort this batch's turns by event time so a gap INSIDE the batch
+        # splits sessions exactly like the same turns arriving across
+        # batches would (replay/backfill delivers a whole conversation in
+        # one batch — batch boundaries must not define session boundaries)
+        rows = []
         for pdf in pdfs:
-            ms = (pdf["ts"].astype("int64") // 1_000_000)
-            n_turns += int(len(pdf))
-            n_tables += int(pdf["n_tab"].sum())
-            lo, hi = int(ms.min()), int(ms.max())
-            start_ms = lo if start_ms is None else min(start_ms, lo)
-            last_ms = hi if last_ms is None else max(last_ms, hi)
-        state.update((n_turns, n_tables, start_ms, last_ms))
-        state.setTimeoutTimestamp(last_ms + gap_ms)
-        return
-        yield  # pragma: no cover - make fn a generator on the flush path too
+            ms = pdf["ts"].astype("int64") // 1_000_000
+            rows.extend(zip((int(v) for v in ms), (int(v) for v in pdf["n_tab"])))
+        rows.sort()
+        for ms, ntab in rows:
+            if cur is None:
+                cur = [1, ntab, ms, ms]
+            elif ms - cur[3] > gap_ms:
+                closed.append(cur)
+                cur = [1, ntab, ms, ms]
+            else:
+                cur[0] += 1
+                cur[1] += ntab
+                cur[2] = min(cur[2], ms)
+                cur[3] = max(cur[3], ms)
+        state.update(tuple(cur))
+        state.setTimeoutTimestamp(cur[3] + gap_ms)
+        if closed:
+            yield frame(closed)
 
     return src.groupBy("conv_id").applyInPandasWithState(
         fn,

@@ -59,12 +59,20 @@ def test_sha256_pin_pass_and_fail(src, tmp_path):
         fetch(src, cache_dir=tmp_path / "c2", sha256="0" * 64)
 
 
-def test_sha256_pin_rejects_stale_cache(src, tmp_path):
+def test_sha256_pin_heals_stale_cache(src, tmp_path):
+    # a corrupted cached copy is deleted and re-fetched (pin-checked), not
+    # a permanent error on the node
     cache = tmp_path / "c"
     cache.mkdir()
     (cache / "weights.onnx").write_bytes(b"corrupted")
+    pin = hashlib.sha256(b"fake-onnx-bytes-123").hexdigest()
+    out = fetch(src, cache_dir=cache, sha256=pin)
+    assert Path(out).read_bytes() == b"fake-onnx-bytes-123"
+    # but if the SOURCE is also bad, the pin still refuses
+    src.write_bytes(b"also-bad")
+    (cache / "weights.onnx").write_bytes(b"corrupted")
     with pytest.raises(ArtifactError):
-        fetch(src, cache_dir=cache, sha256=hashlib.sha256(b"fake-onnx-bytes-123").hexdigest())
+        fetch(src, cache_dir=cache, sha256=pin)
 
 
 def test_fetch_missing_source_raises(tmp_path):

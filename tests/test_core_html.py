@@ -163,6 +163,15 @@ def test_fast_parse_equivalent_to_stdlib_parser():
         "<table><tr><td><table><tr><td>inner</td></tr></table></td></tr></table>",
         "<table><tr><td>unclosed",
         "<table><td>no tr</td></table>",
+        # trailing-slash shapes: html.parser folds '/' into an OPEN unquoted
+        # attr value ('rowspan=2/' is an attr value, NOT a self-close) — the
+        # fast path must decline or agree byte-for-byte
+        "<table><tr><td rowspan=2/>x</td></tr></table>",
+        "<table><tr><td colspan=2/>y</td></tr></table>",
+        "<table><tr><td a=b/ c>z</td></tr></table>",
+        "<table><tr><td/>w</td></tr></table>",
+        '<table><tr><td a="x"/>v</td></tr></table>',
+        "<table><tr><td rowspan=2 />u</td></tr></table>",
     ]
     n_fast = 0
     for h in cases:

@@ -240,3 +240,53 @@ def test_catalog_mode_crash_then_resume(spark, transcripts):
     assert run_with_lineage(spark, transcripts, prefix, n_buckets=N_BUCKETS, run_id="c3") == []
     for t in ("tsr_test_lineage_tables", "tsr_test_lineage_lineage"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_stateful_session_splits_gap_within_one_batch(spark, tmp_path):
+    """A gap larger than `gap` INSIDE a single micro-batch (replay/backfill
+    shape) must split sessions exactly like the same turns arriving across
+    batches — batch boundaries never define session boundaries."""
+    import datetime as dt
+
+    from tablestructurerec_spark.streaming.extract_stream import (
+        stream_conversation_sessions,
+    )
+
+    schema = (
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp"
+    )
+    t0 = dt.datetime(2025, 1, 1, 12, 0, 0)
+    rows = [
+        ("A", 0, "u", "x", None, t0),
+        ("A", 1, "u", "x <table><tr><td>1</td></tr></table>", None, t0 + dt.timedelta(minutes=5)),
+        # 10-hour silence inside the same file -> two sessions
+        ("A", 2, "u", "x", None, t0 + dt.timedelta(hours=10)),
+        ("A", 3, "u", "x", None, t0 + dt.timedelta(hours=10, minutes=2)),
+    ]
+    src_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("s", "o", "c"))
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src_dir)
+
+    def run():
+        q = (
+            stream_conversation_sessions(
+                spark.readStream.schema(spark.read.parquet(src_dir).schema).parquet(src_dir),
+                gap="30 minutes",
+                watermark="10 minutes",
+            )
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run()
+    # the first session closed mid-batch (no timeout needed)
+    got = spark.read.parquet(out_dir).collect()
+    assert len(got) == 1
+    s = got[0]
+    assert (s.n_turns, s.n_tables) == (2, 1)
+    assert s.session_end == t0 + dt.timedelta(minutes=5)

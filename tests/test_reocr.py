@@ -207,3 +207,22 @@ def test_null_score_selects_consistently(spark):
     )
     (r,) = re_rec(cells, images).collect()
     assert r.rerecognized and r.text.startswith("rec:")  # cropped AND rec'd
+
+
+def test_custom_engine_factory_via_closure(spark):
+    """A factory CALLABLE travels in the task closure — the supported way
+    to use a custom engine without import-time registration on workers."""
+    from tablestructurerec_spark.plans.reocr import re_rec
+
+    def factory():
+        def run(img):
+            return [((0.0, 0.0, 1.0, 1.0), "custom", 0.5)]
+
+        return run
+
+    images = spark.createDataFrame(
+        [("c", 1, bytearray(pack_class_mask(_img())))],
+        "conv_id string, turn_idx int, payload binary",
+    )
+    out = {r.cell_id: r for r in re_rec(_cells(spark), images, engine=factory).collect()}
+    assert out[0].text == "custom" and out[0].rerecognized
