@@ -22,6 +22,7 @@ cell key — the distributed analogue of the reference's in-place
 
 from __future__ import annotations
 
+import hashlib
 from typing import Iterator
 
 import numpy as np
@@ -163,19 +164,33 @@ def _get_ocr(engine):
     driver mutates the driver's registry only) or a FACTORY CALLABLE,
     which travels inside the task closure and therefore always works."""
     if callable(engine):
-        key = f"{getattr(engine, '__module__', '?')}.{getattr(engine, '__qualname__', repr(engine))}"
+        # cache key = the factory's pickled closure bytes: identical across
+        # a job's tasks (one heavy construction per worker process) yet
+        # distinct for differently-configured factories from the same code
+        # path (make_engine('en') vs make_engine('ch') capture different
+        # values).  __qualname__ would collide those; id()/repr() would
+        # rebuild per task.
+        try:
+            from pyspark import cloudpickle
+
+            key = hashlib.sha256(cloudpickle.dumps(engine)).hexdigest()
+        except Exception:  # unpicklable factory: construct fresh, no cache
+            return engine()
         if key not in _OCR_CACHE:
             _OCR_CACHE[key] = engine()
         return _OCR_CACHE[key]
     if engine not in _OCR_CACHE:
         try:
-            _OCR_CACHE[engine] = OCR_ENGINES[engine]()
+            factory = OCR_ENGINES[engine]
         except KeyError:
             raise ValueError(
                 f"unknown OCR engine {engine!r}; pass the factory callable "
                 "itself, or register_ocr_engine() at import time in a "
                 "module shipped to the workers"
             ) from None
+        # construct OUTSIDE the lookup's try: a KeyError raised inside the
+        # factory body must surface as itself, not as 'unknown engine'
+        _OCR_CACHE[engine] = factory()
     return _OCR_CACHE[engine]
 
 
@@ -332,6 +347,11 @@ def re_rec(
     (fill_blank_rec trigger, wired_table_rec/main.py:119);
     ``high_precise=True`` redoes every cell (re_rec_high_precise,
     main.py:195-223).
+
+    NB: the returned plan references ``cells`` TWICE (crop side and
+    merge-back side).  If ``cells`` is an expensive pipeline (e.g.
+    ``extract_cells`` over the corpus), persist or checkpoint it first —
+    otherwise Spark recomputes its whole lineage for each subtree.
     """
     crops = low_confidence_cells(
         cells, images, score_thresh=score_thresh, pad=pad, select_all=high_precise

@@ -60,15 +60,24 @@ def stream_conversation_sessions(
     """Custom stateful operator: per-conversation session assembly with
     ``applyInPandasWithState`` (the A1 sessionization contract, streaming).
 
-    A conversation's session stays open in the state store while turns keep
-    arriving; ``gap`` of event-time silence (enforced via event-time timeout
-    against the watermark) closes it and emits ONE row:
+    Turns cluster into sessions separated by more than ``gap`` of event-time
+    silence; each closed session emits ONE row
     ``(conv_id, session_start, session_end, n_turns, n_tables)``.
 
-    Scale shape: state is 4 scalars per live conversation — O(live convs),
-    not O(turns); the per-turn table count is computed as a native column
-    BEFORE the stateful stage so the Python side only sums.  RocksDB state
-    store + watermark eviction make this runnable on the 10^12-turn ingest.
+    Correctness discipline (append-mode rows are final, so emission must be
+    irrevocable): a session is emitted only once the WATERMARK has passed
+    ``session_end + gap`` — before that, an on-time row could still land
+    inside or adjacent to it.  Until sealed, sessions live in state as a
+    LIST of pending (count, tables, start, last) tuples; each batch folds
+    its rows in (sorted, so gaps inside one batch split exactly like gaps
+    across batches — replay/backfill in one batch is the normal case) and
+    an event-time timeout at the earliest unsealed boundary flushes
+    sessions the data flow alone wouldn't revisit.
+
+    Scale shape: state is O(pending sessions per live conversation) — a
+    handful of scalars, bounded by the watermark delay / gap ratio — and
+    the per-turn table count is computed as a native column BEFORE the
+    stateful stage so the Python side only sums.
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -86,7 +95,9 @@ def stream_conversation_sessions(
         "conv_id string, session_start timestamp, session_end timestamp, "
         "n_turns long, n_tables long"
     )
-    state_schema = "n_turns long, n_tables long, start_ms long, last_ms long"
+    state_schema = (
+        "pending array<struct<n_turns:long,n_tables:long,start_ms:long,last_ms:long>>"
+    )
 
     def fn(key, pdfs, state):
         import pandas as pd
@@ -103,35 +114,42 @@ def stream_conversation_sessions(
             )
 
         (conv_id,) = key
-        if state.hasTimedOut:
-            closed = [list(state.get)]
+        pending = (
+            [list(s) for s in state.get[0]] if state.exists else []
+        )  # [n_turns, n_tables, start_ms, last_ms], sorted by start_ms
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                ms = pdf["ts"].astype("int64") // 1_000_000
+                ntab = pdf["n_tab"].fillna(0)  # NULL text -> no tables
+                pending.extend(
+                    [1, int(t), int(m), int(m)] for m, t in zip(ms, ntab)
+                )
+            # fold: sort by start and merge runs whose silence <= gap.  This
+            # handles in-batch gaps, out-of-order arrivals against state
+            # (including rows OLDER than a pending session by more than gap,
+            # which must stay separate), and sessions bridged by a late row.
+            pending.sort(key=lambda s: (s[2], s[3]))
+            folded = []
+            for s in pending:
+                if folded and s[2] - folded[-1][3] <= gap_ms:
+                    f = folded[-1]
+                    f[0] += s[0]
+                    f[1] += s[1]
+                    f[3] = max(f[3], s[3])
+                else:
+                    folded.append(s)
+            pending = folded
+        # seal: emit only sessions the watermark has passed (end + gap) —
+        # no on-time row can extend or split them anymore
+        wm = state.getCurrentWatermarkMs()
+        closed = [s for s in pending if s[3] + gap_ms <= wm]
+        pending = [s for s in pending if s[3] + gap_ms > wm]
+        if pending:
+            state.update(([tuple(s) for s in pending],))
+            # wake at the earliest unsealed boundary (must be > watermark)
+            state.setTimeoutTimestamp(max(min(s[3] for s in pending) + gap_ms, wm + 1))
+        else:
             state.remove()
-            yield frame(closed)
-            return
-        cur = list(state.get) if state.exists else None  # [n_turns, n_tables, start, last]
-        closed = []
-        # sort this batch's turns by event time so a gap INSIDE the batch
-        # splits sessions exactly like the same turns arriving across
-        # batches would (replay/backfill delivers a whole conversation in
-        # one batch — batch boundaries must not define session boundaries)
-        rows = []
-        for pdf in pdfs:
-            ms = pdf["ts"].astype("int64") // 1_000_000
-            rows.extend(zip((int(v) for v in ms), (int(v) for v in pdf["n_tab"])))
-        rows.sort()
-        for ms, ntab in rows:
-            if cur is None:
-                cur = [1, ntab, ms, ms]
-            elif ms - cur[3] > gap_ms:
-                closed.append(cur)
-                cur = [1, ntab, ms, ms]
-            else:
-                cur[0] += 1
-                cur[1] += ntab
-                cur[2] = min(cur[2], ms)
-                cur[3] = max(cur[3], ms)
-        state.update(tuple(cur))
-        state.setTimeoutTimestamp(cur[3] + gap_ms)
         if closed:
             yield frame(closed)
 
@@ -144,13 +162,32 @@ def stream_conversation_sessions(
     )
 
 
+_UNIT_MS = {
+    "ms": 1, "millisecond": 1, "milliseconds": 1,
+    "s": 1000, "sec": 1000, "secs": 1000, "second": 1000, "seconds": 1000,
+    "m": 60_000, "min": 60_000, "mins": 60_000, "minute": 60_000, "minutes": 60_000,
+    "h": 3_600_000, "hr": 3_600_000, "hrs": 3_600_000,
+    "hour": 3_600_000, "hours": 3_600_000,
+    "d": 86_400_000, "day": 86_400_000, "days": 86_400_000,
+}
+
+
 def _duration_ms(s: str) -> int:
-    n, unit = s.split()
-    mult = {
-        "millisecond": 1, "milliseconds": 1,
-        "second": 1000, "seconds": 1000,
-        "minute": 60_000, "minutes": 60_000,
-        "hour": 3_600_000, "hours": 3_600_000,
-        "day": 86_400_000, "days": 86_400_000,
-    }[unit]
-    return int(n) * mult
+    """Spark-style duration string → ms; accepts the same unit spellings as
+    ``withWatermark`` (including multi-part: '1 hour 30 minutes')."""
+    parts = s.split()
+    if len(parts) % 2 or not parts:
+        raise ValueError(
+            f"bad duration {s!r}: expected '<n> <unit>' pairs, "
+            f"units {sorted(set(_UNIT_MS))}"
+        )
+    total = 0
+    for n, unit in zip(parts[::2], parts[1::2]):
+        try:
+            total += int(n) * _UNIT_MS[unit.lower()]
+        except (KeyError, ValueError):
+            raise ValueError(
+                f"bad duration {s!r}: expected '<n> <unit>' pairs, "
+                f"units {sorted(set(_UNIT_MS))}"
+            ) from None
+    return total

@@ -290,3 +290,124 @@ def test_stateful_session_splits_gap_within_one_batch(spark, tmp_path):
     s = got[0]
     assert (s.n_turns, s.n_tables) == (2, 1)
     assert s.session_end == t0 + dt.timedelta(minutes=5)
+
+
+def _session_runner(spark, tmp_path, gap, watermark):
+    import datetime as dt
+
+    from tablestructurerec_spark.streaming.extract_stream import (
+        stream_conversation_sessions,
+    )
+
+    schema = (
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp"
+    )
+    src_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("s", "o", "c"))
+
+    def feed(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src_dir)
+
+    def run():
+        q = (
+            stream_conversation_sessions(
+                spark.readStream.schema(spark.read.parquet(src_dir).schema).parquet(src_dir),
+                gap=gap,
+                watermark=watermark,
+            )
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    def sessions():
+        try:
+            return sorted(
+                ((r.conv_id, r.session_start, r.session_end, r.n_turns, r.n_tables)
+                 for r in spark.read.parquet(out_dir).collect()),
+                key=lambda t: (t[0], t[1]),
+            )
+        except Exception:
+            return []
+
+    return feed, run, sessions
+
+
+def test_stateful_session_not_split_prematurely(spark, tmp_path):
+    """A later batch's ON-TIME row landing between two earlier turns must
+    bridge them into one session — requires that the first batch did NOT
+    prematurely emit a session the watermark hadn't sealed."""
+    import datetime as dt
+
+    t0 = dt.datetime(2025, 1, 1, 12, 0, 0)
+
+    def turn(i, minutes):
+        return ("A", i, "u", "x", None, t0 + dt.timedelta(minutes=minutes))
+
+    feed, run, sessions = _session_runner(spark, tmp_path, "30 minutes", "10 minutes")
+    feed([turn(0, 0), turn(1, 35)])  # naive gap logic would close [0,0] here
+    run()
+    feed([turn(2, 30)])  # on-time (wm=25m): bridges 0 <-> 35
+    run()
+    feed([("Z", 0, "u", "x", None, t0 + dt.timedelta(hours=20))])  # seal all
+    run()
+    got = [s for s in sessions() if s[0] == "A"]
+    assert len(got) == 1 and got[0][3] == 3  # ONE session of 3 turns
+    assert got[0][1] == t0 and got[0][2] == t0 + dt.timedelta(minutes=35)
+
+
+def test_stateful_session_backward_gap_stays_split(spark, tmp_path):
+    """An out-of-order on-time row OLDER than a pending session by more
+    than the gap forms its own session (one-directional gap checks merge
+    it wrongly)."""
+    import datetime as dt
+
+    t0 = dt.datetime(2025, 1, 1, 12, 0, 0)
+    feed, run, sessions = _session_runner(spark, tmp_path, "5 minutes", "30 minutes")
+    feed([("A", 0, "u", "x", None, t0 + dt.timedelta(minutes=100))])
+    run()
+    # wm = 70m, so t=92m is on-time; 100-92=8m > 5m gap -> separate session
+    feed([("A", 1, "u", "x", None, t0 + dt.timedelta(minutes=92))])
+    run()
+    feed([("Z", 0, "u", "x", None, t0 + dt.timedelta(hours=20))])
+    run()
+    got = [s for s in sessions() if s[0] == "A"]
+    assert len(got) == 2, got
+    assert [g[3] for g in got] == [1, 1]
+
+
+def test_stateful_session_null_text_counts_zero_tables(spark, tmp_path):
+    """NULL turn text -> n_tab NULL under ANSI; the sessionizer must count
+    it as a turn with zero tables, not crash the query."""
+    import datetime as dt
+
+    t0 = dt.datetime(2025, 1, 1, 12, 0, 0)
+    feed, run, sessions = _session_runner(spark, tmp_path, "30 minutes", "10 minutes")
+    feed([
+        ("A", 0, "u", None, None, t0),
+        ("A", 1, "u", "x <table><tr><td>1</td></tr></table>", None,
+         t0 + dt.timedelta(minutes=1)),
+    ])
+    run()
+    feed([("Z", 0, "u", "x", None, t0 + dt.timedelta(hours=20))])
+    run()
+    got = [s for s in sessions() if s[0] == "A"]
+    assert len(got) == 1 and got[0][3] == 2 and got[0][4] == 1
+
+
+def test_duration_parser_grammar():
+    from tablestructurerec_spark.streaming.extract_stream import _duration_ms
+
+    assert _duration_ms("90 min") == 90 * 60_000
+    assert _duration_ms("1 hour 30 minutes") == 90 * 60_000
+    assert _duration_ms("45 s") == 45_000
+    import pytest
+
+    with pytest.raises(ValueError, match="bad duration"):
+        _duration_ms("1 fortnight")
+    with pytest.raises(ValueError, match="bad duration"):
+        _duration_ms("soon")

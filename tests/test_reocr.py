@@ -226,3 +226,52 @@ def test_custom_engine_factory_via_closure(spark):
     )
     out = {r.cell_id: r for r in re_rec(_cells(spark), images, engine=factory).collect()}
     assert out[0].text == "custom" and out[0].rerecognized
+
+
+def test_factory_cache_distinguishes_configurations(spark):
+    """Two differently-configured factories from the same code path must
+    not share a cached engine (closure-bytes keying, not __qualname__)."""
+    from tablestructurerec_spark.plans.reocr import re_rec
+
+    def make_engine(tag):
+        def factory():
+            def run(img):
+                return [((0.0, 0.0, 1.0, 1.0), f"tag:{tag}", 0.5)]
+
+            return run
+
+        return factory
+
+    images = spark.createDataFrame(
+        [("c", 1, bytearray(pack_class_mask(_img())))],
+        "conv_id string, turn_idx int, payload binary",
+    )
+    cells = _cells(spark)
+    a = {r.cell_id: r.text for r in re_rec(cells, images, engine=make_engine("en")).collect()}
+    b = {r.cell_id: r.text for r in re_rec(cells, images, engine=make_engine("ch")).collect()}
+    assert a[0] == "tag:en" and b[0] == "tag:ch"
+
+
+def test_registered_factory_construction_error_surfaces():
+    """A KeyError inside the factory body must surface as itself, not be
+    mislabeled 'unknown OCR engine'."""
+    import pytest
+
+    from tablestructurerec_spark.plans.reocr import (
+        _OCR_CACHE,
+        _get_ocr,
+        register_ocr_engine,
+    )
+
+    def bad_factory():
+        return {}["model_path"]  # KeyError from construction
+
+    register_ocr_engine("bad_for_test", bad_factory)
+    try:
+        with pytest.raises(KeyError, match="model_path"):
+            _get_ocr("bad_for_test")
+    finally:
+        from tablestructurerec_spark.plans import reocr
+
+        reocr.OCR_ENGINES.pop("bad_for_test", None)
+        _OCR_CACHE.pop("bad_for_test", None)
