@@ -435,7 +435,7 @@ def _clean_turns_oracle() -> str:
     for tag in ("script", "style", "nav", "header", "footer", "aside", "noscript"):
         steps.append((rf"(?is)<{tag}\b[^>]*>.*?</{tag}>", "''"))
     steps.append((r"<[^>]+>", "' '"))
-    steps.append((r"[ \t\f\v]+", "' '"))
+    steps.append((r"[ \t\f\v\r]+", "' '"))
     steps.append((r" *\n *", "chr(10)"))
     steps.append((r"\n{2,}", "chr(10)"))
     steps.append((r"^[\n ]+|[\n ]+$", "''"))

@@ -79,11 +79,21 @@ def cells_from_line_mask(lines: np.ndarray, min_side: float = 15) -> List[np.nda
         y0, x0 = coords.min(axis=0)
         y1, x1 = coords.max(axis=0)
         bw, bh = x1 - x0 + 1, y1 - y0 + 1
-        if bw * bh > 0.5 * w * h:  # the outer background region
-            continue
-        if bw < min_side or bh < min_side:
+        # reference filter chain (min_area_rect_box, utils_table_line_rec.py
+        # :627,647-651, called with filtersmall=True): bbox 3/4-canvas
+        # pre-filter, then MIN-AREA-RECT area < half canvas and rect sides
+        # >= 15 — bbox-based tests diverge on skewed regions (a rotated
+        # cell's bbox can cover most of the canvas while its rect doesn't;
+        # a thin diagonal's bbox looks big while its rect is 3px wide)
+        if bw * bh > 0.75 * w * h:
             continue
         quad = min_area_rect_corners(coords)  # cw [tl, tr, br, bl] full rect
+        rw = float(np.hypot(*(quad[1] - quad[0])))
+        rh = float(np.hypot(*(quad[2] - quad[1])))
+        if rw * rh >= 0.5 * w * h:
+            continue
+        if rw < min_side or rh < min_side:
+            continue
         # cw [tl, tr, br, bl] → ccw [tl, bl, br, tr]
         quads.append(np.array([quad[0], quad[3], quad[2], quad[1]], dtype=float))
     if quads:

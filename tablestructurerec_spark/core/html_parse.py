@@ -37,18 +37,38 @@ _BOILERPLATE_BLOCK_RE = re.compile(
 )
 _COMMENT_RE = re.compile(r"<!--.*?-->", re.DOTALL)
 _TAG_RE = re.compile(r"<[^>]+>")
-_WS_RE = re.compile(r"[ \t\f\v]+")
+_WS_RE = re.compile(r"[ \t\f\v\r]+")  # \r: CRLF parity with the native chain
+
+
+_TABLE_OPEN_RE = re.compile(r"<table", re.IGNORECASE)
+_TABLE_TOK_RE = re.compile(r"<table\b[^>]*>|</table\s*>", re.IGNORECASE | re.DOTALL)
 
 
 def find_table_fragments(text: str) -> List[Tuple[int, int, str]]:
-    """All ``<table>...</table>`` fragments in ``text`` as (start, end, html).
+    """All top-level ``<table>...</table>`` fragments in ``text`` as
+    (start, end, html).
 
-    Non-greedy per fragment; nested tables are not produced by the
-    reference's grammar and are treated as part of the outer fragment's body.
+    Depth-balanced: a nested ``<table>`` stays inside its outer fragment
+    (its text flattens into the enclosing cell at parse time) instead of
+    truncating the outer fragment at the inner ``</table>``.  Matching is
+    case-insensitive throughout — including this fast pre-check, which
+    must accept everything the Spark-side ``has_table_col`` filter passes.
     """
-    if "<table" not in text and "<TABLE" not in text:
+    if _TABLE_OPEN_RE.search(text) is None:
         return []
-    return [(m.start(), m.end(), m.group(0)) for m in TABLE_RE.finditer(text)]
+    out: List[Tuple[int, int, str]] = []
+    depth = 0
+    start = 0
+    for m in _TABLE_TOK_RE.finditer(text):
+        if m.group(0)[1] != "/":
+            if depth == 0:
+                start = m.start()
+            depth += 1
+        elif depth > 0:
+            depth -= 1
+            if depth == 0:
+                out.append((start, m.end(), text[start : m.end()]))
+    return out
 
 
 class _TableParser(HTMLParser):
@@ -73,6 +93,7 @@ class _TableParser(HTMLParser):
         if self.depth > 1:
             return
         if tag == "tr":
+            self._close_cell()  # implied </td> (valid HTML omits it)
             self.row += 1
             self.cursor = 0
         elif tag in ("td", "th"):
@@ -90,6 +111,8 @@ class _TableParser(HTMLParser):
     def handle_endtag(self, tag):
         tag = tag.lower()
         if tag == "table":
+            if self.depth == 1:
+                self._close_cell()  # implied </td> before </table>
             self.depth -= 1
             return
         if self.depth > 1:
@@ -100,8 +123,14 @@ class _TableParser(HTMLParser):
             self._close_cell()
 
     def handle_data(self, data):
-        if self.in_cell and self.depth <= 1:
+        # depth > 1 = inside a nested <table>: its structure tags are
+        # ignored (guards above) but its TEXT flattens into the outer cell
+        if self.in_cell:
             self.cell_lines[-1] += data
+
+    def close(self):
+        super().close()
+        self._close_cell()  # unterminated fragment: flush the open cell
 
     def _close_cell(self) -> None:
         if not self.in_cell:
@@ -206,6 +235,7 @@ def _fast_feed(p: _TableParser, html: str) -> bool:
     if "<" in rest:
         return False
     p.handle_data(rest)
+    p._close_cell()  # same end-of-input flush as the stdlib path's close()
     return True
 
 

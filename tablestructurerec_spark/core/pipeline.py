@@ -61,18 +61,7 @@ def classify_table_kind(logic_points: List[List[int]]) -> str:
     classifier — deterministic and runtime-computable, since in this graft
     the quads derive from the parsed grid.
     """
-    if not logic_points:
-        return "wireless"
-    n_rows = max(lp[1] for lp in logic_points) + 1
-    n_cols = max(lp[3] for lp in logic_points) + 1
-    row_origins = {lp[0] for lp in logic_points}
-    col_origins = {lp[2] for lp in logic_points}
-    if len(row_origins) < n_rows or len(col_origins) < n_cols:
-        return "wireless"
-    quads = np.asarray(quads_from_logic_points(logic_points), dtype=float)
-    if recover_logic_points(quads).tolist() != [list(map(int, lp)) for lp in logic_points]:
-        return "wireless"
-    return "wired"
+    return _classify_and_recover(logic_points)[0]
 
 
 def _classify_and_recover(logic_points: List[List[int]]):

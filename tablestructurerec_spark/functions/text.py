@@ -25,7 +25,10 @@ TABLE_PATTERN = r"(?is)<table\b[^>]*>.*?</table>"
 _COMMENT_PATTERN = r"(?s)<!--.*?-->"
 _BLOCK_PATTERN = r"(?is)<(script|style|nav|header|footer|aside|noscript)\b[^>]*>.*?</\1>"
 _TAG_PATTERN = r"<[^>]+>"
-_HSPACE_PATTERN = "[ \t\f\x0B]+"
+# \r included: CRLF/stray-CR text must clean identically to the python
+# twin's line.strip() behavior (all three faces — python kernel, this
+# chain, the DuckDB oracle — carry the same class)
+_HSPACE_PATTERN = "[ \t\f\x0B\r]+"
 
 
 def has_table_col(text: Column) -> Column:

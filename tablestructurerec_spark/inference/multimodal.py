@@ -62,7 +62,16 @@ def get_decoder(kind: str):
 
             from PIL import Image
 
-            return lambda payload, w, h, c: np.asarray(Image.open(BytesIO(payload)))
+            def _pil_decode(payload, w, h, c):
+                # normalize EVERY payload (grayscale, palette, RGBA) to
+                # 3-channel BGR — the reference's cv2 LoadImage contract
+                # (lineless_table_rec/utils/utils.py:249-341) that all
+                # consumers (classifier preprocess, feature stages) assume;
+                # raw RGB here would silently channel-swap the models
+                rgb = np.asarray(Image.open(BytesIO(payload)).convert("RGB"))
+                return rgb[..., ::-1].copy()
+
+            return _pil_decode
         except ImportError:
             return _fake_decode_image
     if kind == "audio":

@@ -64,3 +64,25 @@ def test_interior_count_matches_cells():
     assert quads[0][0][0] < quads[1][0][0]
     tl, bl, br, tr = quads[0]
     assert tl[1] < bl[1] and tl[0] < br[0]
+
+
+def test_filter_matches_reference_min_area_rect_semantics():
+    """Region filtering follows min_area_rect_box (ref utils_table_line_rec
+    .py:627,647-651): thin DIAGONAL regions are dropped on min-area-RECT
+    sides (<15), even when their axis-aligned bbox looks large; upright
+    cells of rect side >= 15 are kept."""
+    import numpy as np
+
+    from tablestructurerec_spark.core.cells_from_lines import cells_from_line_mask
+
+    lines = np.ones((200, 200), dtype=bool)
+    # a 30x30 upright open cell -> kept
+    lines[10:40, 10:40] = False
+    # a ~4px-wide diagonal strip spanning a 100x100 bbox -> rect ~4x140,
+    # filtered by the rect-side rule (the old bbox-side test kept it)
+    for i in range(100):
+        lines[60 + i, 60 + i : 64 + i] = False
+    quads = cells_from_line_mask(lines)
+    assert len(quads) == 1
+    q = np.asarray(quads[0])
+    assert q[:, 0].max() <= 45 and q[:, 1].max() <= 45  # the upright cell

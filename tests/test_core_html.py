@@ -182,3 +182,43 @@ def test_fast_parse_equivalent_to_stdlib_parser():
         assert parse_table_html(h) is not None  # fallback path never raises
     # the fast path must actually engage on the common grammar
     assert n_fast >= 150, n_fast
+
+
+def test_implied_end_tags_place_cells_like_a_browser():
+    """Valid HTML5 omits </td>/</tr>; cells must land on the same grid a
+    browser renders (a new <tr> or </table> closes the open cell)."""
+    from tablestructurerec_spark.core.html_parse import parse_table_html
+
+    logic, texts = parse_table_html("<table><tr><td>a<td>b<tr><td>c<td>d</table>")
+    assert logic == [[0, 0, 0, 0], [0, 0, 1, 1], [1, 1, 0, 0], [1, 1, 1, 1]]
+    assert texts == [["a"], ["b"], ["c"], ["d"]]
+
+
+def test_nested_table_stays_in_outer_fragment():
+    """A nested <table> must not truncate the outer fragment; its text
+    flattens into the enclosing cell."""
+    from tablestructurerec_spark.core.html_parse import (
+        find_table_fragments,
+        parse_table_html,
+    )
+
+    t = ("x <table><tr><td>outer1<table><tr><td>inner</td></tr></table>"
+         "</td><td>outer2</td></tr></table> y")
+    frs = find_table_fragments(t)
+    assert len(frs) == 1 and frs[0][2].endswith("</td></tr></table>")
+    logic, texts = parse_table_html(frs[0][2])
+    assert texts == [["outer1inner"], ["outer2"]]
+    assert logic == [[0, 0, 0, 0], [0, 0, 1, 1]]
+
+
+def test_mixed_case_table_tags_found():
+    """The fragment finder's fast pre-check must accept everything the
+    Spark-side has_table_col filter passes (case-insensitive)."""
+    from tablestructurerec_spark.core.html_parse import (
+        find_table_fragments,
+        parse_table_html,
+    )
+
+    frs = find_table_fragments("<Table><TR><TD>x</TD></TR></Table>")
+    assert len(frs) == 1
+    assert parse_table_html(frs[0][2])[1] == [["x"]]

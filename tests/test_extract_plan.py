@@ -81,3 +81,19 @@ def test_stable_ordering(spark, transcripts):
     out = turns.orderBy("conv_id", "turn_idx").select("conv_id", "turn_idx").collect()
     keys = [(r.conv_id, r.turn_idx) for r in out]
     assert keys == sorted(keys)
+
+
+def test_native_strip_crlf_parity(spark):
+    """CRLF and stray-CR text must clean identically through the python
+    kernel and the native Column chain (all three faces carry \\r in the
+    horizontal-whitespace class)."""
+    from pyspark.sql import functions as F
+
+    from tablestructurerec_spark.core.html_parse import strip_boilerplate
+    from tablestructurerec_spark.functions.text import strip_boilerplate_col
+
+    cases = ["a\r\n\r\nb", "a\rb", "x <b>y</b>\r\n z", "line1\r\nline2\r\n"]
+    df = spark.createDataFrame([(c,) for c in cases], "text string")
+    got = [r.out for r in df.select(strip_boilerplate_col(F.col("text")).alias("out")).collect()]
+    want = [strip_boilerplate(c) for c in cases]
+    assert got == want
