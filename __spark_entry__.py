@@ -28,8 +28,15 @@ def _ship_package(spark: SparkSession) -> None:
     """
     if getattr(spark, "_tsr_shipped", False):
         return
+    import tempfile
+
     pkg_dir = os.path.join(REPO_ROOT, "tablestructurerec_spark")
-    zip_path = os.path.join("/tmp", "tablestructurerec_spark_pkg.zip")
+    # per-process path: a fixed /tmp name races concurrent drivers (B's
+    # ZipFile('w') truncates the zip A's workers are still fetching) and
+    # PermissionErrors across users
+    zip_path = os.path.join(
+        tempfile.gettempdir(), f"tablestructurerec_spark_pkg_{os.getpid()}.zip"
+    )
     with zipfile.ZipFile(zip_path, "w") as zf:
         for root, _dirs, files in os.walk(pkg_dir):
             for fn in files:
@@ -429,12 +436,21 @@ def _clean_turns_oracle() -> str:
         + _tpl_sql(_SECOND_TABLE)
         + " || '</body></html>' ELSE '' END || ' <footer>fin</footer>'"
     )
-    table_pat = r"(?is)<table\b[^>]*>.*?</table>"
+    # the SAME pattern strings the native chain compiles (functions/text.py)
+    # — the block alternation expands per tag because RE2 lacks \1 backrefs
+    from tablestructurerec_spark.functions.text import (
+        BOILERPLATE_TAGS,
+        COMMENT_PATTERN,
+        TABLE_PATTERN,
+        TAG_PATTERN,
+    )
+
+    table_pat = TABLE_PATTERN
     steps = [(table_pat, "' '")]
-    steps.append((r"(?s)<!--.*?-->", "''"))
-    for tag in ("script", "style", "nav", "header", "footer", "aside", "noscript"):
+    steps.append((COMMENT_PATTERN, "''"))
+    for tag in BOILERPLATE_TAGS:
         steps.append((rf"(?is)<{tag}\b[^>]*>.*?</{tag}>", "''"))
-    steps.append((r"<[^>]+>", "' '"))
+    steps.append((TAG_PATTERN, "' '"))
     steps.append((r"[ \t\f\v\r]+", "' '"))
     steps.append((r" *\n *", "chr(10)"))
     steps.append((r"\n{2,}", "chr(10)"))

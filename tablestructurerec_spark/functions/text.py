@@ -20,11 +20,16 @@ __all__ = [
     "strip_boilerplate_col",
 ]
 
-# Java-regex twins of core.html_parse's python patterns.
+# Java-regex twins of core.html_parse's python patterns.  The DuckDB
+# oracle (__spark_entry__._clean_turns_oracle) imports these same strings —
+# one definition, three execution engines.
+BOILERPLATE_TAGS = ("script", "style", "nav", "header", "footer", "aside", "noscript")
 TABLE_PATTERN = r"(?is)<table\b[^>]*>.*?</table>"
-_COMMENT_PATTERN = r"(?s)<!--.*?-->"
-_BLOCK_PATTERN = r"(?is)<(script|style|nav|header|footer|aside|noscript)\b[^>]*>.*?</\1>"
-_TAG_PATTERN = r"<[^>]+>"
+COMMENT_PATTERN = r"(?s)<!--.*?-->"
+_BLOCK_PATTERN = rf"(?is)<({'|'.join(BOILERPLATE_TAGS)})\b[^>]*>.*?</\1>"
+TAG_PATTERN = r"<[^>]+>"
+_COMMENT_PATTERN = COMMENT_PATTERN
+_TAG_PATTERN = TAG_PATTERN
 # \r included: CRLF/stray-CR text must clean identically to the python
 # twin's line.strip() behavior (all three faces — python kernel, this
 # chain, the DuckDB oracle — carry the same class)

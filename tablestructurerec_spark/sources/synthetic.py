@@ -27,8 +27,11 @@ from ..core.html_render import render_table_html
 
 __all__ = ["TRANSCRIPT_SCHEMA", "synth_transcripts", "expected_tables_for_turn"]
 
-TRANSCRIPT_SCHEMA = (
-    "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+# derived from the single canonical definition so the two cannot drift
+from .transcripts import TRANSCRIPT_FIELDS as _FIELDS
+
+TRANSCRIPT_SCHEMA = ", ".join(
+    f"{n} {t.simpleString()}" for n, t in _FIELDS.items()
 )
 
 _WORDS = (
@@ -167,8 +170,12 @@ def synth_transcripts(spark, n_convs: int, mean_turns: int = 8, seed: int = 42):
     base = spark.range(0, n_convs).repartition(3 * max(spark.sparkContext.defaultParallelism, 1))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # one concatenated frame per INPUT batch, not one ~8-row frame per
+        # conversation: 128k convs would otherwise emit 128k miniature
+        # Arrow record batches whose per-batch IPC framing dominates
         for pdf in batches:
-            for conv in pdf["id"].tolist():
-                yield _rows_for_conv(seed, int(conv), mean_turns)
+            frames = [_rows_for_conv(seed, int(conv), mean_turns) for conv in pdf["id"].tolist()]
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
 
     return base.mapInPandas(gen, schema=TRANSCRIPT_SCHEMA)

@@ -49,7 +49,10 @@ def normalize_transcripts(df: DataFrame) -> DataFrame:
     cols = []
     for name, dtype in TRANSCRIPT_FIELDS.items():
         if name in df.columns:
-            cols.append(F.col(name).cast(dtype).alias(name))
+            # try_cast, not cast: under Spark 4's ANSI-on default a plain
+            # cast ABORTS the job on one malformed value; the documented
+            # contract is "malformed rows surface as nulls"
+            cols.append(F.col(name).try_cast(dtype).alias(name))
         else:
             cols.append(F.lit(None).cast(dtype).alias(name))
     return df.select(*cols)
@@ -83,13 +86,21 @@ def read_transcripts(
         reader = reader.option("header", options.pop("header", "true"))
     for k, v in options.items():
         reader = reader.option(k, v)
-    if fmt in ("json", "csv"):
+    if fmt == "json":
         # explicit permissive schema: every declared column as string, cast
         # in normalize — inference on big corpora is a full extra scan
+        # (json binds by NAME, so an explicit schema is safe there)
         schema = T.StructType(
             [T.StructField(n, T.StringType(), True) for n in TRANSCRIPT_FIELDS]
         )
         df = reader.schema(schema).format(fmt).load(path)
+    elif fmt == "csv":
+        # CSV with an explicit schema binds columns POSITIONALLY (the header
+        # row is skipped, not matched) — a reordered or superset CSV would
+        # be silently misassigned.  Read header-named all-string columns
+        # (inferSchema stays off: no extra scan) and cast by name in
+        # normalize_transcripts.
+        df = reader.option("inferSchema", "false").format(fmt).load(path)
     else:
         df = reader.format(fmt).load(path)
     return normalize_transcripts(df)

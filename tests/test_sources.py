@@ -58,3 +58,38 @@ def test_read_transcripts_catalog_table(spark):
     assert ",".join(back.columns) == CANON
     assert back.count() == src.count()
     assert extract_tables(back).count() == extract_tables(src).count()
+
+
+def test_csv_reordered_and_superset_columns_bind_by_name(spark, tmp_path):
+    """CSV columns must bind by HEADER NAME: with an explicit schema Spark
+    binds positionally and silently misassigns reordered/superset files."""
+    p = str(tmp_path / "re.csv")
+    import os
+
+    os.makedirs(p)
+    with open(f"{p}/part.csv", "w") as f:
+        f.write("turn_idx,extra,conv_id,text\n")
+        f.write('1,zzz,convA,"hello <table><tr><td>x</td></tr></table>"\n')
+        f.write("2,yyy,convA,plain turn\n")
+    back = read_transcripts(spark, p, fmt="csv")
+    rows = {r.turn_idx: r for r in back.collect()}
+    assert rows[1].conv_id == "convA" and "hello" in rows[1].text
+    assert rows[2].text == "plain turn"
+    assert "extra" not in back.columns
+
+
+def test_malformed_values_become_nulls_not_job_failures(spark, tmp_path):
+    """ANSI mode is on by default in Spark 4: plain cast would abort the
+    job on one bad value; the contract is nulls."""
+    p = str(tmp_path / "bad.csv")
+    import os
+
+    os.makedirs(p)
+    with open(f"{p}/part.csv", "w") as f:
+        f.write("conv_id,turn_idx,text,ts\n")
+        f.write("c,notanint,x,alsonotatimestamp\n")
+        f.write("c,2,y,2025-01-01 00:00:00\n")
+    back = read_transcripts(spark, p, fmt="csv").collect()
+    by_text = {r.text: r for r in back}
+    assert by_text["x"].turn_idx is None and by_text["x"].ts is None
+    assert by_text["y"].turn_idx == 2
