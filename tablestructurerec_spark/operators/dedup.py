@@ -74,6 +74,57 @@ _SHINGLES_SQL = (
 # ---------------------------------------------------------------------------
 # MinHash + LSH banded candidate pairs
 # ---------------------------------------------------------------------------
+# At production signature widths the k per-permutation array traversals
+# dominate: Catalyst higher-order functions (transform/array_min) evaluate
+# interpreted, outside whole-stage codegen, so their cost is per-element
+# interpreter overhead x k.  An Arrow-batched numpy kernel does the same
+# (a*h+b) mod p / min in one vectorized (k x S) op per doc — measured at
+# sf0.1: 1.4 s vs 2.8 s for the k=128 signature stage (2x, and the gap grows
+# with k and shingle count).  At k=8 the fused codegen'd pipeline wins (one
+# pass over the scan, no Arrow hop), so small signatures keep the native path.
+_VECTORIZE_MIN_HASHES = 32
+
+
+def _banded_buckets_udf(n_hashes: int, band_rows: int):
+    """pandas_udf: hv(array<long>) -> per-band bucket md5 strings, byte-equal
+    to the native path (str(long) join '|' then md5; all-null sigs of an
+    empty shingle set collapse to md5('') exactly as concat_ws does)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    mul = np.array(_MINHASH_A[:n_hashes], dtype=np.int64)[:, None]
+    add = np.array(_MINHASH_B[:n_hashes], dtype=np.int64)[:, None]
+    n_bands = n_hashes // band_rows
+    empty_buckets = [hashlib.md5(b"").hexdigest()] * n_bands
+
+    # no type hints: `from __future__ import annotations` stringifies them
+    # and pyspark's hint resolver can't see this scope — wrap explicitly
+    def buckets(hvs):
+        out = []
+        for h in hvs:
+            if h is None or len(h) == 0:
+                out.append(empty_buckets)
+                continue
+            # h < 2^31 and A < 2^31 keep a*h+b under 2^63: exact in int64,
+            # the same bound that keeps the Catalyst/DuckDB faces exact
+            ha = np.asarray(h, dtype=np.int64)[None, :]
+            sig = ((ha * mul + add) % _MINHASH_P).min(axis=1)
+            ss = [str(v) for v in sig]
+            out.append(
+                [
+                    hashlib.md5(
+                        "|".join(ss[j * band_rows : (j + 1) * band_rows]).encode()
+                    ).hexdigest()
+                    for j in range(n_bands)
+                ]
+            )
+        return pd.Series(out)
+
+    return F.pandas_udf(buckets, "array<string>")
+
+
 def q_dedup_minhash_lsh(
     spark: SparkSession,
     sf_dir: str,
@@ -104,37 +155,43 @@ def q_dedup_minhash_lsh(
         .repartition("doc_id")
     )
 
-    def sig(i: int):
-        a, b = _MINHASH_A[i], _MINHASH_B[i]
-        # NB: single-arg lambda — a 2-arg transform lambda receives (elem, idx)
-        return F.array_min(
-            F.transform(
-                F.col("hv"),
-                lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(_MINHASH_P),
-            )
-        ).cast("string")
+    if n_hashes >= _VECTORIZE_MIN_HASHES:
+        # production-width signatures: one Arrow-batched numpy kernel per
+        # batch computes all k mins at once (see _VECTORIZE_MIN_HASHES note)
+        bk = _banded_buckets_udf(n_hashes, band_rows)
+        banded = docs.select("doc_id", F.posexplode(bk("hv")).alias("band", "bucket"))
+    else:
 
-    sigs = [sig(i) for i in range(n_hashes)]
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(j).alias("band"),
-                F.md5(
-                    F.concat_ws("|", *sigs[j * band_rows : (j + 1) * band_rows])
-                ).alias("bucket"),
-            )
-            for j in range(n_hashes // band_rows)
-        ]
-    )
-    banded = (
-        docs.select("doc_id", F.explode(bands).alias("b"))
-        .select("doc_id", F.col("b.band").alias("band"), F.col("b.bucket").alias("bucket"))
-        # exchange barrier: materialize the signatures ONCE per row before the
-        # self-join — otherwise Catalyst inlines the whole shingle+md5 tree
-        # into both join sides and recomputes it per candidate pair.  The
-        # hash partitioning also matches the join keys, so the join reuses it.
-        .repartition("band", "bucket")
-    )
+        def sig(i: int):
+            a, b = _MINHASH_A[i], _MINHASH_B[i]
+            # NB: single-arg lambda — a 2-arg transform lambda receives (elem, idx)
+            return F.array_min(
+                F.transform(
+                    F.col("hv"),
+                    lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(_MINHASH_P),
+                )
+            ).cast("string")
+
+        sigs = [sig(i) for i in range(n_hashes)]
+        bands = F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("band"),
+                    F.md5(
+                        F.concat_ws("|", *sigs[j * band_rows : (j + 1) * band_rows])
+                    ).alias("bucket"),
+                )
+                for j in range(n_hashes // band_rows)
+            ]
+        )
+        banded = docs.select("doc_id", F.explode(bands).alias("b")).select(
+            "doc_id", F.col("b.band").alias("band"), F.col("b.bucket").alias("bucket")
+        )
+    # exchange barrier: materialize the signatures ONCE per row before the
+    # self-join — otherwise Catalyst inlines the whole signature tree into
+    # both join sides and recomputes it per candidate pair.  The hash
+    # partitioning also matches the join keys, so the join reuses it.
+    banded = banded.repartition("band", "bucket")
     pairs = (
         banded.alias("x")
         .join(
