@@ -28,21 +28,35 @@ def _ship_package(spark: SparkSession) -> None:
     """
     if getattr(spark, "_tsr_shipped", False):
         return
+    import hashlib
     import tempfile
 
     pkg_dir = os.path.join(REPO_ROOT, "tablestructurerec_spark")
-    # per-process path: a fixed /tmp name races concurrent drivers (B's
-    # ZipFile('w') truncates the zip A's workers are still fetching) and
-    # PermissionErrors across users
-    zip_path = os.path.join(
-        tempfile.gettempdir(), f"tablestructurerec_spark_pkg_{os.getpid()}.zip"
+    # build to a per-process temp name, then rename to a content-hashed
+    # final name: the atomic rename means concurrent drivers can never
+    # observe a truncated zip (a fixed name + ZipFile('w') could), and the
+    # content hash bounds accumulation at one file per distinct package
+    # version instead of one per driver pid
+    tmp_path = os.path.join(
+        tempfile.gettempdir(), f"tablestructurerec_spark_pkg_{os.getpid()}.zip.tmp"
     )
-    with zipfile.ZipFile(zip_path, "w") as zf:
-        for root, _dirs, files in os.walk(pkg_dir):
-            for fn in files:
+    digest = hashlib.sha256()
+    with zipfile.ZipFile(tmp_path, "w") as zf:
+        for root, dirs, files in os.walk(pkg_dir):
+            dirs.sort()  # deterministic walk -> stable content hash
+            for fn in sorted(files):
                 if fn.endswith(".py"):
                     full = os.path.join(root, fn)
-                    zf.write(full, os.path.relpath(full, REPO_ROOT))
+                    with open(full, "rb") as fh:
+                        data = fh.read()
+                    digest.update(os.path.relpath(full, REPO_ROOT).encode())
+                    digest.update(data)
+                    zf.writestr(os.path.relpath(full, REPO_ROOT), data)
+    zip_path = os.path.join(
+        tempfile.gettempdir(),
+        f"tablestructurerec_spark_pkg_{digest.hexdigest()[:16]}.zip",
+    )
+    os.replace(tmp_path, zip_path)
     spark.sparkContext.addPyFile(zip_path)
     spark._tsr_shipped = True
 

@@ -41,6 +41,13 @@ def _sf_number(sf_dir: str) -> float:
     try:
         return float(tail.replace("sf", ""))
     except ValueError:
+        # the sf label sizes the synthetic corpus and is recorded in the
+        # result JSON — a silent default would mislabel a custom corpus
+        sys.stderr.write(
+            f"[bench] WARNING: cannot parse scale factor from {sf_dir!r}; "
+            "assuming sf=0.1 (corpus sizing and the result's \"sf\" field "
+            "reflect that assumption, not the actual input scale)\n"
+        )
         return 0.1
 
 
@@ -190,9 +197,12 @@ def _minhash_prod(spark, sf: float) -> None:
     mult = 1
     if "--mult" in sys.argv:
         i = sys.argv.index("--mult") + 1
-        if i >= len(sys.argv) or not sys.argv[i].isdigit():
+        try:
+            mult = int(sys.argv[i]) if i < len(sys.argv) else 0
+        except ValueError:
+            mult = 0
+        if mult < 1:
             sys.exit("usage: bench.py --minhash-prod [--mult N]  (N a positive integer)")
-        mult = int(sys.argv[i])
     n_hashes, band_rows = 128, 8
     sf_dir = SF_DIR
     if mult > 1:
@@ -238,12 +248,22 @@ def _mp_kernel_ceiling(levels: tuple[int, int]) -> float:
     chunks = [(i * total // 96, (i + 1) * total // 96) for i in range(96)]
     rates = {}
     for procs in levels:
-        with mp.Pool(procs) as pool:
-            pool.map(_mp_work, chunks[:procs])  # warm workers
+        # initializer warming guarantees EVERY worker pays its pandas/numpy
+        # imports before the timed window (a warm-up map lets a fast worker
+        # steal two tasks and leave a cold one inside the measurement);
+        # chunksize=1 gives both levels identical work-stealing granularity
+        # (the default chunksize varies with pool size, load-balancing the
+        # Zipf conversation skew differently at N vs 4N)
+        with mp.Pool(procs, initializer=_mp_warm) as pool:
             t0 = time.perf_counter()
-            tot = sum(pool.map(_mp_work, chunks))
+            tot = sum(pool.map(_mp_work, chunks, chunksize=1))
             rates[procs] = tot / (time.perf_counter() - t0)
     return (rates[levels[1]] / rates[levels[0]]) / (levels[1] / levels[0])
+
+
+def _mp_warm() -> None:
+    import tablestructurerec_spark.core.pipeline  # noqa: F401
+    import tablestructurerec_spark.sources.synthetic  # noqa: F401
 
 
 def _mp_work(args: tuple[int, int]) -> int:

@@ -58,6 +58,32 @@ def normalize_transcripts(df: DataFrame) -> DataFrame:
     return df.select(*cols)
 
 
+def _validate_json_keys(spark: SparkSession, path: str, sample: int = 50) -> None:
+    """Check the required keys actually occur in the data, from a bounded
+    sample of raw lines (limit() stops at the first partition — no full
+    scan, unlike schema inference).  Line-delimited JSON only; multiLine
+    inputs skip this (a raw line is not an object there)."""
+    import json as _json
+
+    rows = spark.read.text(path).limit(sample).collect()
+    if not rows:
+        return  # empty input: normalize's schema still holds
+    seen: set[str] = set()
+    for r in rows:
+        try:
+            obj = _json.loads(r[0])
+        except ValueError:
+            continue
+        if isinstance(obj, dict):
+            seen.update(obj.keys())
+    missing = [c for c in _REQUIRED if c not in seen]
+    if missing:
+        raise ValueError(
+            f"json transcripts at {path} carry none of the required keys "
+            f"{missing} in the first {len(rows)} records; found keys {sorted(seen)}"
+        )
+
+
 def read_transcripts(
     spark: SparkSession, path: str, fmt: str = "parquet", **options
 ) -> DataFrame:
@@ -89,11 +115,16 @@ def read_transcripts(
     if fmt == "json":
         # explicit permissive schema: every declared column as string, cast
         # in normalize — inference on big corpora is a full extra scan
-        # (json binds by NAME, so an explicit schema is safe there)
+        # (json binds by NAME, so an explicit schema is safe there).  The
+        # imposed schema makes the read total (absent keys -> typed null),
+        # which would silently defeat normalize's missing-required-column
+        # error — recover it with a bounded key-presence sample below.
         schema = T.StructType(
             [T.StructField(n, T.StringType(), True) for n in TRANSCRIPT_FIELDS]
         )
         df = reader.schema(schema).format(fmt).load(path)
+        if str(options.get("multiLine", "false")).lower() != "true":
+            _validate_json_keys(spark, path)
     elif fmt == "csv":
         # CSV with an explicit schema binds columns POSITIONALLY (the header
         # row is skipped, not matched) — a reordered or superset CSV would
