@@ -56,7 +56,17 @@ def _ship_package(spark: SparkSession) -> None:
         tempfile.gettempdir(),
         f"tablestructurerec_spark_pkg_{digest.hexdigest()[:16]}.zip",
     )
-    os.replace(tmp_path, zip_path)
+    try:
+        os.replace(tmp_path, zip_path)
+    except OSError:
+        # sticky /tmp forbids renaming over another user's file; the name is
+        # content-hashed, so an existing file IS this archive — reuse it.
+        # Anything else (exotic fs), fall back to the per-pid name.
+        if os.path.exists(zip_path):
+            os.remove(tmp_path)
+        else:
+            zip_path = tmp_path[: -len(".tmp")]
+            os.replace(tmp_path, zip_path)
     spark.sparkContext.addPyFile(zip_path)
     spark._tsr_shipped = True
 

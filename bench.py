@@ -247,23 +247,36 @@ def _mp_kernel_ceiling(levels: tuple[int, int]) -> float:
     total = 3200
     chunks = [(i * total // 96, (i + 1) * total // 96) for i in range(96)]
     rates = {}
+    ctx = mp.get_context()
     for procs in levels:
-        # initializer warming guarantees EVERY worker pays its pandas/numpy
-        # imports before the timed window (a warm-up map lets a fast worker
-        # steal two tasks and leave a cold one inside the measurement);
-        # chunksize=1 gives both levels identical work-stealing granularity
-        # (the default chunksize varies with pool size, load-balancing the
-        # Zipf conversation skew differently at N vs 4N)
-        with mp.Pool(procs, initializer=_mp_warm) as pool:
+        # a barrier all workers + the parent wait on guarantees EVERY
+        # worker has finished its pandas/numpy imports before t0 is taken
+        # (Pool() returns while initializers are still running, and a
+        # warm-up map lets a fast worker steal two tasks and leave a cold
+        # one inside the measurement); chunksize=1 gives both levels
+        # identical work-stealing granularity (the default chunksize varies
+        # with pool size, load-balancing the Zipf conversation skew
+        # differently at N vs 4N)
+        barrier = ctx.Barrier(procs + 1)
+        with ctx.Pool(procs, initializer=_mp_warm, initargs=(barrier,)) as pool:
+            try:
+                barrier.wait(timeout=120)
+            except Exception:
+                pass  # degrade to unsynchronized start rather than hang
             t0 = time.perf_counter()
             tot = sum(pool.map(_mp_work, chunks, chunksize=1))
             rates[procs] = tot / (time.perf_counter() - t0)
     return (rates[levels[1]] / rates[levels[0]]) / (levels[1] / levels[0])
 
 
-def _mp_warm() -> None:
+def _mp_warm(barrier) -> None:
     import tablestructurerec_spark.core.pipeline  # noqa: F401
     import tablestructurerec_spark.sources.synthetic  # noqa: F401
+
+    try:
+        barrier.wait(timeout=120)
+    except Exception:
+        pass
 
 
 def _mp_work(args: tuple[int, int]) -> int:

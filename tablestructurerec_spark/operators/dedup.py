@@ -10,8 +10,13 @@ Exact-hash dedup lives in :mod:`.relational` (d1_dedup_exact).  Here:
 * N-gram Jaccard — sorted-neighborhood blocking (same source, close length)
   then exact shingle-set Jaccard on the candidate pairs only.
 
-All pure Catalyst (higher-order array functions; no Python UDFs), each with
-a DuckDB oracle built from the same hash (md5) so values match exactly.
+All queries run Catalyst-native (higher-order array functions) at default
+bench-sized parameters, each with a DuckDB oracle built from the same hash
+(md5) so values match exactly.  One deliberate exception: MinHash at
+production signature widths (k >= _VECTORIZE_MIN_HASHES) swaps the k
+interpreted HOF passes for a single Arrow-batched pandas_udf signature
+kernel (see _banded_buckets_udf) — byte-equal output, regression-pinned by
+tests/test_plan_shapes.py.
 """
 
 from __future__ import annotations
@@ -190,7 +195,9 @@ def q_dedup_minhash_lsh(
     # exchange barrier: materialize the signatures ONCE per row before the
     # self-join — otherwise Catalyst inlines the whole signature tree into
     # both join sides and recomputes it per candidate pair.  The hash
-    # partitioning also matches the join keys, so the join reuses it.
+    # partitioning matches the join keys; when the planner picks a shuffle
+    # join both sides share this exchange (at small inputs it may broadcast
+    # one side instead — measured cost-neutral warm at sf0.01/sf0.1).
     banded = banded.repartition("band", "bucket")
     pairs = (
         banded.alias("x")

@@ -58,14 +58,25 @@ def normalize_transcripts(df: DataFrame) -> DataFrame:
     return df.select(*cols)
 
 
-def _validate_json_keys(spark: SparkSession, path: str, sample: int = 50) -> None:
-    """Check the required keys actually occur in the data, from a bounded
-    sample of raw lines (limit() stops at the first partition — no full
-    scan, unlike schema inference).  Line-delimited JSON only; multiLine
-    inputs skip this (a raw line is not an object there)."""
+def _validate_json_keys(
+    spark: SparkSession, path: str, options: dict, sample: int = 50
+) -> None:
+    """Reject inputs that are clearly not transcripts: if a bounded sample of
+    raw lines shows NONE of the required keys, the imposed permissive schema
+    would silently null every column, so fail loudly instead.
+
+    Only a zero-required-keys sample fails: JSON writers drop null fields by
+    default (Spark's own ``ignoreNullFields=true``), so any single key may
+    legitimately be absent from the first lines of a sparse but valid corpus.
+    The sample (``limit()`` stops at the first partition — no full scan,
+    unlike schema inference) forwards the caller's reader options so file
+    selection (``pathGlobFilter``, ``recursiveFileLookup``, ``lineSep``, …)
+    matches the real read; options the text source doesn't know are ignored.
+    Line-delimited JSON only; multiLine inputs skip this (a raw line is not
+    an object there)."""
     import json as _json
 
-    rows = spark.read.text(path).limit(sample).collect()
+    rows = spark.read.options(**options).text(path).limit(sample).collect()
     if not rows:
         return  # empty input: normalize's schema still holds
     seen: set[str] = set()
@@ -76,11 +87,11 @@ def _validate_json_keys(spark: SparkSession, path: str, sample: int = 50) -> Non
             continue
         if isinstance(obj, dict):
             seen.update(obj.keys())
-    missing = [c for c in _REQUIRED if c not in seen]
-    if missing:
+    if seen and not any(c in seen for c in _REQUIRED):
         raise ValueError(
             f"json transcripts at {path} carry none of the required keys "
-            f"{missing} in the first {len(rows)} records; found keys {sorted(seen)}"
+            f"{list(_REQUIRED)} in the first {len(rows)} records; found keys "
+            f"{sorted(seen)}"
         )
 
 
@@ -123,8 +134,12 @@ def read_transcripts(
             [T.StructField(n, T.StringType(), True) for n in TRANSCRIPT_FIELDS]
         )
         df = reader.schema(schema).format(fmt).load(path)
-        if str(options.get("multiLine", "false")).lower() != "true":
-            _validate_json_keys(spark, path)
+        # Spark reader options are case-insensitive — match that here
+        multi = {k.lower(): str(v) for k, v in options.items()}.get(
+            "multiline", "false"
+        )
+        if multi.lower() != "true":
+            _validate_json_keys(spark, path, options)
     elif fmt == "csv":
         # CSV with an explicit schema binds columns POSITIONALLY (the header
         # row is skipped, not matched) — a reordered or superset CSV would

@@ -93,3 +93,66 @@ def test_malformed_values_become_nulls_not_job_failures(spark, tmp_path):
     by_text = {r.text: r for r in back}
     assert by_text["x"].turn_idx is None and by_text["x"].ts is None
     assert by_text["y"].turn_idx == 2
+
+
+def test_json_wrong_shape_rejected(spark, tmp_path):
+    """A JSON input carrying NONE of the required transcript keys must fail
+    loudly — the imposed permissive schema would otherwise null every
+    column silently."""
+    import json, os
+
+    p = str(tmp_path / "wrong")
+    os.makedirs(p)
+    with open(f"{p}/part.jsonl", "w") as f:
+        for i in range(3):
+            f.write(json.dumps({"foo": i, "bar": "x"}) + "\n")
+    with pytest.raises(ValueError, match="none of the required keys"):
+        read_transcripts(spark, p, fmt="json")
+
+
+def test_json_sparse_keys_accepted(spark, tmp_path):
+    """JSON writers drop null fields by default (Spark's ignoreNullFields),
+    so a valid corpus whose first lines omit `text` entirely must still
+    load — only a zero-required-keys sample is a shape error."""
+    import json, os
+
+    p = str(tmp_path / "sparse")
+    os.makedirs(p)
+    with open(f"{p}/part.jsonl", "w") as f:
+        for i in range(60):  # more than the validation sample
+            f.write(json.dumps({"conv_id": "c", "turn_idx": i}) + "\n")
+        f.write(json.dumps({"conv_id": "c", "turn_idx": 60, "text": "hi"}) + "\n")
+    back = read_transcripts(spark, p, fmt="json")
+    assert back.count() == 61
+    assert back.where("text is not null").count() == 1
+
+
+def test_json_multiline_option_case_insensitive(spark, tmp_path):
+    """Spark reader options are case-insensitive; `multiline='true'`
+    (lowercase l) must skip the line-based key validation just like
+    `multiLine` — a pretty-printed array file has no per-line objects."""
+    import os
+
+    p = str(tmp_path / "multi")
+    os.makedirs(p)
+    with open(f"{p}/part.json", "w") as f:
+        f.write('[\n  {"conv_id": "c",\n   "turn_idx": 1,\n   "text": "hello"}\n]\n')
+    back = read_transcripts(spark, p, fmt="json", multiline="true")
+    rows = back.collect()
+    assert len(rows) == 1 and rows[0].text == "hello"
+
+
+def test_json_validation_respects_path_glob(spark, tmp_path):
+    """The key-presence sample must select files the way the real read does:
+    a non-JSON sidecar excluded by pathGlobFilter cannot poison the
+    sample."""
+    import json, os
+
+    p = str(tmp_path / "globbed")
+    os.makedirs(p)
+    with open(f"{p}/README.txt", "w") as f:
+        f.write("this is not json\n" * 80)
+    with open(f"{p}/data.jsonl", "w") as f:
+        f.write(json.dumps({"conv_id": "c", "turn_idx": 1, "text": "hi"}) + "\n")
+    back = read_transcripts(spark, p, fmt="json", pathGlobFilter="*.jsonl")
+    assert back.count() == 1
