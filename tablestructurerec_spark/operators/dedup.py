@@ -139,33 +139,33 @@ def q_dedup_minhash_lsh(
     # ``n_hashes``/``band_rows`` are the production knobs (128 permutations,
     # 4-8 rows per band in real pipelines; the defaults are bench-sized and
     # pinned by the DuckDB oracle).  The plan SHAPE is identical at any
-    # size: signatures stay map-side, the self-join is on (band, bucket).
-    # exchange barrier right after shingling: the signature expressions
-    # below would otherwise each re-inline (and re-execute) the tokenizer +
-    # shingler per document — measured 5x slower without the barrier.
-    # (Shingling stays map-side on the scan: at scale the source has many
-    # splits; moving it after the exchange lets AQE coalesce the tiny
-    # shuffle and serialize the work — measured slower at bench SF.)
-    # ONE md5 per shingle, folded to 31 bits, computed BEFORE the exchange —
-    # the shuffle carries a compact long array and the k permutations after
-    # the barrier are pure integer affine transforms (universal hashing).
+    # size: signatures stay map-side on the scan, the self-join is on
+    # (band, bucket).  ONE md5 per shingle, folded to 31 bits; the k
+    # permutations are pure integer affine transforms (universal hashing).
     hv = F.transform(
         shingles_col(tokens_col(F.col("text"))),
         lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
         % F.lit(1 << 31),
     )
-    docs = (
-        _t(spark, sf_dir, "documents")
-        .select("doc_id", hv.alias("hv"))
-        .repartition("doc_id")
-    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id", hv.alias("hv"))
 
     if n_hashes >= _VECTORIZE_MIN_HASHES:
         # production-width signatures: one Arrow-batched numpy kernel per
-        # batch computes all k mins at once (see _VECTORIZE_MIN_HASHES note)
+        # batch computes all k mins at once (see _VECTORIZE_MIN_HASHES note).
+        # NO exchange barrier here: the opaque UDF references hv exactly
+        # once, so there is nothing to re-inline — and the barrier below is
+        # a full-corpus shuffle of shingle-hash arrays (nearly text-sized)
+        # that a 10^12-turn job cannot afford; partitioning follows input
+        # splits straight into the signature stage.
         bk = _banded_buckets_udf(n_hashes, band_rows)
         banded = docs.select("doc_id", F.posexplode(bk("hv")).alias("band", "bucket"))
     else:
+        # exchange barrier right after shingling, for the HOF path only:
+        # each of the k signature expressions below references hv, and
+        # without the barrier Catalyst inlines (and re-executes) the whole
+        # tokenizer + shingler + md5 tree per signature — measured 5x
+        # slower at bench SF.
+        docs = docs.repartition("doc_id")
 
         def sig(i: int):
             a, b = _MINHASH_A[i], _MINHASH_B[i]
