@@ -420,9 +420,18 @@ def q_dedup_components(
         return df.checkpoint() if reliable_checkpoint else df.localCheckpoint()
 
     pairs = q_dedup_minhash_lsh(spark, sf_dir)  # (doc_a, doc_b)
+    # symmetrize in ONE pass over the pair plan: a self-union would execute
+    # the whole MinHash candidate-pair pipeline twice (measured 2x the edge
+    # stage at bench SF; at corpus scale, two full LSH joins instead of one)
     edges = barrier(
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
+                    F.struct(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")),
+                )
+            ).alias("e")
+        ).select("e.src", "e.dst")
     )  # materialize once; every round re-reads it
     # init = round one folded in: component = min(self, min neighbor).  For
     # clique-shaped dup groups (the common near-dup case) this is already
