@@ -218,11 +218,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 (+ training-data
     operators).  Every callable takes (spark, sf_dir) → DataFrame with
     columns aliased identically to the oracle SQL."""
-    from tablestructurerec_spark.operators import dedup, relational, similarity, textstats
+    from tablestructurerec_spark.operators import (
+        dedup,
+        hygiene,
+        relational,
+        similarity,
+        textstats,
+    )
 
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(relational.QUERIES)
     out.update(textstats.QUERIES)
+    out.update(hygiene.QUERIES)
     out.update(dedup.QUERIES)
     out.update(similarity.QUERIES)
 
@@ -329,10 +336,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from tablestructurerec_spark.operators import dedup, relational, similarity, textstats
+    from tablestructurerec_spark.operators import (
+        dedup,
+        hygiene,
+        relational,
+        similarity,
+        textstats,
+    )
 
     out = dict(relational.ORACLE_SQL)
     out.update(textstats.ORACLE_SQL)
+    out.update(hygiene.ORACLE_SQL)
     out.update(dedup.ORACLE_SQL)
     out.update(similarity.ORACLE_SQL)
     out["flagship_extract"] = _flagship_extract_oracle()

@@ -1,0 +1,358 @@
+"""Corpus-hygiene operators for training-data pipelines over ``documents``.
+
+Three operators a large-scale (100 TB) pretraining-data pipeline needs on
+top of the dedup/similarity/textstats suite:
+
+* **PII redaction** (``t_pii_scrub``) — regex scrub of emails, IPv4
+  addresses and phone numbers, with per-category match counts.  Pure
+  scan+project (zero shuffle); the regexes are alternation-free so the
+  leftmost-first (Java) and leftmost-longest (RE2/DuckDB) engines produce
+  identical matches, which is what keeps the oracle byte-exact.
+* **Repetition filter** (``t_repetition``) — Gopher-style repetition
+  signals (duplicate-sentence fraction, duplicate-sentence *character*
+  fraction, most-common-word fraction, most-common-bigram fraction).
+  Pure scan+project; the per-row distinct×occurrence count is O(u·n) in
+  array sizes, all inside whole-stage codegen.
+* **Benchmark decontamination** (``dedup_decontaminate``) — 5-token-shingle
+  overlap between the training corpus and a benchmark set (here derived
+  deterministically: every ``doc_id % 11 == 0`` document's 200-char prefix
+  stands in for a leaked eval prompt).  The 100 TB shape: the benchmark
+  shingle set is *small* and explicitly ``broadcast()``; the training side
+  streams through a map-side hash join — no shuffle of the big side, then
+  one partial-agg shuffle on ``doc_id`` for the per-doc rollup.
+
+Each query has an ANSI-SQL DuckDB oracle over the same parquet.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .textstats import _TOKENS_SQL, tokens_col
+
+__all__ = ["QUERIES", "ORACLE_SQL"]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+# Alternation-free patterns only: Java regex (Spark) is leftmost-first,
+# RE2 (DuckDB) is leftmost-longest — they agree exactly when the pattern has
+# no alternation and only greedy quantifiers.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_PHONE = r"\+\d[\d ()-]{6,}\d"
+
+
+def _pii_augmented(text: Column, doc_id: Column) -> Column:
+    """Deterministic PII header derived from doc_id, appended to the text.
+
+    The synthetic corpus carries no organic PII; the header guarantees the
+    scrubber is genuinely exercised (one email, one IP, one phone per doc)
+    while staying a pure function of the input table.
+    """
+    return F.concat(
+        text,
+        F.lit(" Contact user"),
+        doc_id.cast("string"),
+        F.lit("@example.com at 10.0."),
+        (doc_id % 256).cast("string"),
+        F.lit("."),
+        ((doc_id * 7) % 256).cast("string"),
+        F.lit(" or call +1 555 010 "),
+        F.lpad((doc_id % 10000).cast("string"), 4, "0"),
+        F.lit("."),
+    )
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    aug = _pii_augmented(F.col("text"), F.col("doc_id")).alias("aug")
+    base = docs.select("doc_id", aug)
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("aug", _PII_EMAIL, "<EMAIL>"),
+            _PII_IPV4,
+            "<IP>",
+        ),
+        _PII_PHONE,
+        "<PHONE>",
+    )
+    return base.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("aug", F.lit(_PII_EMAIL), F.lit(0))).cast("int").alias("n_emails"),
+        F.size(F.regexp_extract_all("aug", F.lit(_PII_IPV4), F.lit(0))).cast("int").alias("n_ips"),
+        F.size(F.regexp_extract_all("aug", F.lit(_PII_PHONE), F.lit(0))).cast("int").alias("n_phones"),
+        F.length(red).cast("int").alias("redacted_len"),
+        F.md5(red).alias("redacted_md5"),
+    ).orderBy("doc_id")
+
+
+_PII_AUG_SQL = (
+    "text || ' Contact user' || CAST(doc_id AS VARCHAR) || '@example.com at 10.0.'"
+    " || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)"
+    " || ' or call +1 555 010 ' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '.'"
+)
+
+_PII_SCRUB_SQL = f"""
+WITH base AS (
+  SELECT doc_id, {_PII_AUG_SQL} AS aug FROM documents
+), red AS (
+  SELECT doc_id, aug,
+         regexp_replace(regexp_replace(regexp_replace(aug,
+             '{_PII_EMAIL}', '<EMAIL>', 'g'),
+             '{_PII_IPV4}', '<IP>', 'g'),
+             '{_PII_PHONE}', '<PHONE>', 'g') AS redacted
+  FROM base
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(aug, '{_PII_EMAIL}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(aug, '{_PII_IPV4}')) AS INT) AS n_ips,
+       CAST(len(regexp_extract_all(aug, '{_PII_PHONE}')) AS INT) AS n_phones,
+       CAST(length(redacted) AS INT) AS redacted_len,
+       md5(redacted) AS redacted_md5
+FROM red
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition signals
+# ---------------------------------------------------------------------------
+def _occurrence_max(arr: Column) -> Column:
+    """Count of the most frequent element (0 for empty arrays)."""
+    counts = F.transform(
+        F.array_distinct(arr), lambda v: F.size(F.filter(arr, lambda x: x == v))
+    )
+    return F.coalesce(F.array_max(counts), F.lit(0))
+
+
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    # Deterministic augmentation: every 7th doc gets its 80-char prefix
+    # appended twice as extra sentences, so the duplicate-sentence branch is
+    # genuinely exercised on the synthetic corpus (which never repeats).
+    rep = F.concat(F.lit(". "), F.substring("text", 1, 80))
+    docs = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat("text", rep, rep, F.lit(". "))
+        ).otherwise(F.col("text")),
+    )
+    toks = tokens_col(F.col("text"))
+    sents = F.filter(
+        F.transform(F.split(F.col("text"), r"[.!?]\s+"), lambda s: F.trim(s)),
+        lambda s: s != "",
+    )
+    n = F.greatest(F.size(F.col("toks")) - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(F.col("toks"), 1, n),
+        F.slice(F.col("toks"), 2, n),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    # Materialize arrays once: per-element lambdas referencing an inline
+    # tokenizer expression re-evaluate it per element (planner blowup —
+    # see dedup.shingles_col).
+    base = docs.select(
+        "doc_id", toks.alias("toks"), sents.alias("sents")
+    ).select("doc_id", "toks", "sents", bigrams.alias("bigrams"))
+
+    n_tok = F.size("toks")
+    n_sent = F.size("sents")
+    n_bi = F.size("bigrams")
+    dup_sent_frac = F.when(
+        n_sent > 0, 1.0 - F.size(F.array_distinct("sents")) / n_sent
+    ).otherwise(0.0)
+    sent_counts = F.transform(
+        F.array_distinct("sents"),
+        lambda s: F.struct(
+            F.size(F.filter(F.col("sents"), lambda x: x == s)).alias("c"),
+            F.length(s).alias("l"),
+        ),
+    )
+    dup_chars = F.aggregate(
+        sent_counts,
+        F.lit(0).cast("long"),
+        lambda acc, st: acc
+        + F.when(st["c"] > 1, (st["c"] * st["l"]).cast("long")).otherwise(F.lit(0).cast("long")),
+    )
+    tot_chars = F.aggregate(
+        F.col("sents"), F.lit(0).cast("long"), lambda acc, s: acc + F.length(s).cast("long")
+    )
+    dup_sent_char_frac = F.when(tot_chars > 0, dup_chars / tot_chars).otherwise(0.0)
+    top_word_frac = F.when(
+        n_tok > 0, _occurrence_max(F.col("toks")) / n_tok
+    ).otherwise(0.0)
+    top_bigram_frac = F.when(
+        n_bi > 0, _occurrence_max(F.col("bigrams")) / n_bi
+    ).otherwise(0.0)
+    return base.select(
+        "doc_id",
+        n_sent.cast("int").alias("n_sentences"),
+        F.round(dup_sent_frac, 6).alias("dup_sent_frac"),
+        F.round(dup_sent_char_frac, 6).alias("dup_sent_char_frac"),
+        F.round(top_word_frac, 6).alias("top_word_frac"),
+        F.round(top_bigram_frac, 6).alias("top_bigram_frac"),
+    ).orderBy("doc_id")
+
+
+_REPETITION_SQL = f"""
+WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+              THEN text || '. ' || substr(text, 1, 80)
+                        || '. ' || substr(text, 1, 80) || '. '
+              ELSE text END AS text
+  FROM documents
+), base AS (
+  SELECT doc_id,
+         {_TOKENS_SQL} AS toks,
+         list_filter(list_transform(string_split_regex(text, '[.!?]\\s+'),
+                                    s -> trim(s)), s -> s <> '') AS sents
+  FROM aug
+), arrs AS (
+  SELECT doc_id, toks, sents,
+         CASE WHEN len(toks) >= 2
+              THEN list_transform(range(1, len(toks)),
+                                  i -> toks[i] || ' ' || toks[i + 1])
+              ELSE [] END AS bigrams
+  FROM base
+), stats AS (
+  SELECT doc_id,
+         len(sents) AS n_sent, len(toks) AS n_tok, len(bigrams) AS n_bi,
+         CASE WHEN len(sents) > 0
+              THEN 1.0 - len(list_distinct(sents)) * 1.0 / len(sents)
+              ELSE 0.0 END AS dup_sent_frac,
+         coalesce(list_sum(list_transform(list_distinct(sents),
+             s -> CASE WHEN len(list_filter(sents, x -> x = s)) > 1
+                       THEN len(list_filter(sents, x -> x = s)) * length(s)
+                       ELSE 0 END)), 0) AS dup_chars,
+         coalesce(list_sum(list_transform(sents, s -> length(s))), 0) AS tot_chars,
+         coalesce(list_max(list_transform(list_distinct(toks),
+             t -> len(list_filter(toks, x -> x = t)))), 0) AS top_word,
+         coalesce(list_max(list_transform(list_distinct(bigrams),
+             g -> len(list_filter(bigrams, x -> x = g)))), 0) AS top_bigram
+  FROM arrs
+)
+SELECT doc_id,
+       CAST(n_sent AS INT) AS n_sentences,
+       ROUND(dup_sent_frac, 6) AS dup_sent_frac,
+       ROUND(CASE WHEN tot_chars > 0 THEN dup_chars * 1.0 / tot_chars ELSE 0.0 END, 6)
+           AS dup_sent_char_frac,
+       ROUND(CASE WHEN n_tok > 0 THEN top_word * 1.0 / n_tok ELSE 0.0 END, 6)
+           AS top_word_frac,
+       ROUND(CASE WHEN n_bi > 0 THEN top_bigram * 1.0 / n_bi ELSE 0.0 END, 6)
+           AS top_bigram_frac
+FROM stats
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+_DECON_K = 5  # shingle width (tokens)
+_DECON_MOD = 11  # every doc_id % 11 == 0 contributes a benchmark prompt
+_DECON_PREFIX = 200  # chars of the doc used as the leaked prompt
+_DECON_MIN_OVERLAP = 3  # shingle hits to flag contamination
+
+
+def _shingle5(toks: Column) -> Column:
+    n = F.size(toks) - (_DECON_K - 1)
+    seq = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, _DECON_K))),
+    )
+    # sequence(1, 0) is the DESCENDING [1, 0] in Spark, not empty — guard.
+    return F.when(n >= 1, seq).otherwise(F.array().cast("array<string>"))
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    train_sh = (
+        docs.select("doc_id", tokens_col(F.col("text")).alias("toks"))
+        .select("doc_id", F.explode(F.array_distinct(_shingle5(F.col("toks")))).alias("sh"))
+    )
+    bench_sh = (
+        docs.where(F.col("doc_id") % _DECON_MOD == 0)
+        .select(
+            F.col("doc_id").alias("bench_id"),
+            tokens_col(F.substring("text", 1, _DECON_PREFIX)).alias("toks"),
+        )
+        .select("bench_id", F.explode(F.array_distinct(_shingle5(F.col("toks")))).alias("sh"))
+    )
+    # benchmark side is small by construction — broadcast it so the training
+    # corpus never shuffles (the 100 TB-safe decontamination shape)
+    overlap = (
+        train_sh.join(F.broadcast(bench_sh), "sh")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").alias("overlap"))
+    )
+    per_doc = overlap.groupBy("doc_id").agg(
+        F.count("*").cast("int").alias("n_bench_partners"),
+        F.max("overlap").cast("int").alias("max_overlap"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bench_partners", F.lit(0)).cast("int").alias("n_bench_partners"),
+            F.coalesce("max_overlap", F.lit(0)).cast("int").alias("max_overlap"),
+            (F.coalesce("max_overlap", F.lit(0)) >= _DECON_MIN_OVERLAP)
+            .cast("int")
+            .alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_DECON_SH_SQL = (
+    "list_distinct(list_transform(range(1, greatest(len(toks) - {km1}, 0) + 1),"
+    " i -> md5(array_to_string(toks[i:i + {km1}], ' '))))"
+).format(km1=_DECON_K - 1)
+
+_DECONTAMINATE_SQL = f"""
+WITH train AS (
+  SELECT doc_id, unnest({_DECON_SH_SQL}) AS sh
+  FROM (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents)
+), bench AS (
+  SELECT bench_id, unnest({_DECON_SH_SQL}) AS sh
+  FROM (SELECT doc_id AS bench_id,
+               {_TOKENS_SQL.replace('lower(text)', f'lower(substr(text, 1, {_DECON_PREFIX}))')} AS toks
+        FROM documents WHERE doc_id % {_DECON_MOD} = 0)
+), overlap AS (
+  SELECT t.doc_id, b.bench_id, count(*) AS overlap
+  FROM train t JOIN bench b USING (sh)
+  GROUP BY t.doc_id, b.bench_id
+), per_doc AS (
+  SELECT doc_id, count(*) AS n_bench_partners, max(overlap) AS max_overlap
+  FROM overlap GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(p.n_bench_partners, 0) AS INT) AS n_bench_partners,
+       CAST(coalesce(p.max_overlap, 0) AS INT) AS max_overlap,
+       CAST(coalesce(p.max_overlap, 0) >= {_DECON_MIN_OVERLAP} AS INT) AS contaminated
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "t_pii_scrub": q_pii_scrub,
+    "t_repetition": q_repetition,
+    "dedup_decontaminate": q_decontaminate,
+}
+
+ORACLE_SQL: Dict[str, str] = {
+    "t_pii_scrub": _PII_SCRUB_SQL,
+    "t_repetition": _REPETITION_SQL,
+    "dedup_decontaminate": _DECONTAMINATE_SQL,
+}

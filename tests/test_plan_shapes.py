@@ -27,9 +27,15 @@ def test_relational_queries_have_no_python_stage(spark):
     # kernel than as 128 interpreted higher-order-function passes (see
     # dedup._VECTORIZE_MIN_HASHES); its Arrow stage is asserted positively
     # below and its values stay oracle-pinned.
-    from tablestructurerec_spark.operators import dedup, relational, similarity, textstats
+    from tablestructurerec_spark.operators import (
+        dedup,
+        hygiene,
+        relational,
+        similarity,
+        textstats,
+    )
 
-    for mod in (relational, textstats, dedup, similarity):
+    for mod in (relational, textstats, hygiene, dedup, similarity):
         for name, fn in mod.QUERIES.items():
             if name == "dedup_minhash_prod":
                 continue
@@ -68,6 +74,16 @@ def test_minhash_vectorized_matches_native_banding(spark):
     finally:
         dedup._VECTORIZE_MIN_HASHES = forced
     assert [tuple(r) for r in native] == [tuple(r) for r in vec]
+
+
+def test_decontaminate_broadcasts_bench_side(spark):
+    """The benchmark shingle set is small by construction; the training
+    corpus must stream through a broadcast hash join (no shuffle of the big
+    side) — the 100 TB-safe decontamination shape."""
+    from tablestructurerec_spark.operators.hygiene import q_decontaminate
+
+    plan = _plan(q_decontaminate(spark, SF))
+    assert "BroadcastHashJoin" in plan
 
 
 def test_filter_pushdown_reaches_scan(spark):
