@@ -222,6 +222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dedup,
         hygiene,
         relational,
+        sampling,
         similarity,
         textstats,
     )
@@ -230,6 +231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(relational.QUERIES)
     out.update(textstats.QUERIES)
     out.update(hygiene.QUERIES)
+    out.update(sampling.QUERIES)
     out.update(dedup.QUERIES)
     out.update(similarity.QUERIES)
 
@@ -340,6 +342,7 @@ def oracle_sql() -> dict[str, str]:
         dedup,
         hygiene,
         relational,
+        sampling,
         similarity,
         textstats,
     )
@@ -347,6 +350,7 @@ def oracle_sql() -> dict[str, str]:
     out = dict(relational.ORACLE_SQL)
     out.update(textstats.ORACLE_SQL)
     out.update(hygiene.ORACLE_SQL)
+    out.update(sampling.ORACLE_SQL)
     out.update(dedup.ORACLE_SQL)
     out.update(similarity.ORACLE_SQL)
     out["flagship_extract"] = _flagship_extract_oracle()

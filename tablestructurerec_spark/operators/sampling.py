@@ -1,0 +1,187 @@
+"""Deterministic sampling / data-mixing operators over ``documents``.
+
+The selection side of a training-data pipeline: once hygiene and dedup have
+flagged what is *eligible*, these decide what is *used* —
+
+* **Split assignment** (``t_split_assign``) — content-stable train/val/test
+  split from an md5 bucket of the document key (8/1/1).  Hash-based, not
+  ``rand()``: re-running the pipeline (or re-running it on a grown corpus)
+  never migrates a document across splits, which is what keeps eval sets
+  uncontaminated across pipeline versions.  Single scan, zero shuffle.
+* **Stratified sampling** (``t_stratified_sample``) — per-language keep
+  rates applied via a salted md5 uniform.  Deterministic for the same
+  reason; the keep decision is a pure function of (doc_id, lang) so any
+  executor placement / retry produces the same sample.  Single scan.
+* **Temperature mixing** (``t_domain_mix``) — multilingual temperature
+  sampling (á la mBERT/XLM, T=2 ⇒ q_l ∝ p_l^(1/2)): per-language token
+  shares p_l, re-weighted shares q_l, and the per-language sampling factor
+  q_l/p_l a downstream sampler would apply.  One partial-agg shuffle to
+  #langs rows; the total-token normalization runs post-agg over that tiny
+  frame, so the single-partition window never sees corpus-sized data.
+
+All pure Catalyst with DuckDB oracles over the same parquet.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .textstats import _TOKENS_SQL, tokens_col
+
+__all__ = ["QUERIES", "ORACLE_SQL"]
+
+_U32 = float(1 << 32)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _hash_uniform(salt: str, key: Column) -> Column:
+    """Deterministic uniform in [0, 1) from the first 8 md5 hex chars."""
+    h = F.conv(F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 8), 16, 10)
+    return h.cast("long") / F.lit(_U32)
+
+
+def _hash_uniform_sql(salt: str, key: str) -> str:
+    return (
+        f"CAST(('0x' || substr(md5('{salt}' || CAST({key} AS VARCHAR)), 1, 8)) AS BIGINT)"
+        f" / {_U32}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# train/val/test split assignment
+# ---------------------------------------------------------------------------
+_SPLIT_SALT = "split:"
+_N_BUCKETS = 10  # buckets 0-7 train, 8 val, 9 test
+
+
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    bucket = F.floor(_hash_uniform(_SPLIT_SALT, F.col("doc_id")) * _N_BUCKETS).cast("int")
+    split = (
+        F.when(bucket <= 7, F.lit("train"))
+        .when(bucket == 8, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return docs.select(
+        "doc_id", bucket.alias("bucket"), split.alias("split")
+    ).orderBy("doc_id")
+
+
+_SPLIT_ASSIGN_SQL = f"""
+WITH b AS (
+  SELECT doc_id,
+         CAST(floor({_hash_uniform_sql(_SPLIT_SALT, 'doc_id')} * {_N_BUCKETS}) AS INT)
+             AS bucket
+  FROM documents
+)
+SELECT doc_id, bucket,
+       CASE WHEN bucket <= 7 THEN 'train'
+            WHEN bucket = 8 THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# stratified sampling — per-language keep rates
+# ---------------------------------------------------------------------------
+_SAMPLE_SALT = "samp:"
+_LANG_RATES = {"en": 0.9, "es": 0.6, "fr": 0.6, "de": 0.6, "zh": 0.4}
+_DEFAULT_RATE = 0.5
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    u = _hash_uniform(_SAMPLE_SALT, F.col("doc_id"))
+    rate = F.lit(_DEFAULT_RATE)
+    for lang, r in _LANG_RATES.items():
+        rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
+    return (
+        docs.select("doc_id", "lang", "source", u.alias("u"), rate.alias("rate"))
+        .where(F.col("u") < F.col("rate"))
+        .select("doc_id", "lang", "source", F.round("u", 6).alias("sample_u"))
+        .orderBy("doc_id")
+    )
+
+
+def _rate_sql() -> str:
+    whens = " ".join(f"WHEN '{lang}' THEN {r}" for lang, r in _LANG_RATES.items())
+    return f"CASE lang {whens} ELSE {_DEFAULT_RATE} END"
+
+
+_STRATIFIED_SAMPLE_SQL = f"""
+WITH b AS (
+  SELECT doc_id, lang, source,
+         {_hash_uniform_sql(_SAMPLE_SALT, 'doc_id')} AS u,
+         {_rate_sql()} AS rate
+  FROM documents
+)
+SELECT doc_id, lang, source, ROUND(u, 6) AS sample_u
+FROM b WHERE u < rate
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# temperature mixing — q_l ∝ p_l^(1/T), T = 2
+# ---------------------------------------------------------------------------
+def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    per_lang = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(tokens_col(F.col("text")))).cast("long").alias("n_tokens"),
+    )
+    # post-agg frame has #langs rows: the unpartitioned window is safe
+    w = Window.partitionBy()
+    p = F.col("n_tokens") / F.sum("n_tokens").over(w)
+    q_raw = F.sqrt(p)
+    q = q_raw / F.sum(q_raw).over(w)
+    return per_lang.select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.round(p, 6).alias("p_tokens"),
+        F.round(q, 6).alias("q_temperature"),
+        F.round(q / p, 6).alias("sampling_factor"),
+    ).orderBy("lang")
+
+
+_DOMAIN_MIX_SQL = f"""
+WITH per_lang AS (
+  SELECT lang,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len({_TOKENS_SQL})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY lang
+), shares AS (
+  SELECT lang, n_docs, n_tokens,
+         n_tokens * 1.0 / sum(n_tokens) OVER () AS p,
+         sqrt(n_tokens * 1.0 / sum(n_tokens) OVER ()) AS q_raw
+  FROM per_lang
+)
+SELECT lang, n_docs, n_tokens,
+       ROUND(p, 6) AS p_tokens,
+       ROUND(q_raw / sum(q_raw) OVER (), 6) AS q_temperature,
+       ROUND(q_raw / sum(q_raw) OVER () / p, 6) AS sampling_factor
+FROM shares
+ORDER BY lang
+"""
+
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "t_split_assign": q_split_assign,
+    "t_stratified_sample": q_stratified_sample,
+    "t_domain_mix": q_domain_mix,
+}
+
+ORACLE_SQL: Dict[str, str] = {
+    "t_split_assign": _SPLIT_ASSIGN_SQL,
+    "t_stratified_sample": _STRATIFIED_SAMPLE_SQL,
+    "t_domain_mix": _DOMAIN_MIX_SQL,
+}

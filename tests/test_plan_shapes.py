@@ -31,11 +31,12 @@ def test_relational_queries_have_no_python_stage(spark):
         dedup,
         hygiene,
         relational,
+        sampling,
         similarity,
         textstats,
     )
 
-    for mod in (relational, textstats, hygiene, dedup, similarity):
+    for mod in (relational, textstats, hygiene, sampling, dedup, similarity):
         for name, fn in mod.QUERIES.items():
             if name == "dedup_minhash_prod":
                 continue
