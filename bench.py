@@ -206,7 +206,9 @@ def _minhash_prod(spark, sf: float) -> None:
     n_hashes, band_rows = 128, 8
     sf_dir = SF_DIR
     if mult > 1:
-        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        from tablestructurerec_spark.sources.read import read_spread
+
+        docs = read_spread(spark, f"{SF_DIR}/documents.parquet")
         # shift by max(doc_id)+1, not count: sparse/offset id spaces must
         # not collide across replicas
         stride = docs.agg(F.max("doc_id")).collect()[0][0] + 1

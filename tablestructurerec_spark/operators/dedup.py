@@ -51,7 +51,9 @@ del _rng
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    from tablestructurerec_spark.sources.read import read_spread
+
+    return read_spread(spark, f"{sf_dir}/{name}.parquet")
 
 
 def shingles_col(toks: Column) -> Column:

@@ -21,6 +21,9 @@ __all__ = ["QUERIES", "ORACLE_SQL"]
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # No read_spread here: the relational suite's scan expressions are cheap
+    # column refs — its work happens after its own join/agg exchanges, so an
+    # up-front round-robin would be a pure extra shuffle.
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -37,7 +37,9 @@ _U32 = float(1 << 32)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    from tablestructurerec_spark.sources.read import read_spread
+
+    return read_spread(spark, f"{sf_dir}/{name}.parquet")
 
 
 def _hash_uniform(salt: str, key: Column) -> Column:

@@ -18,7 +18,9 @@ __all__ = ["QUERIES", "ORACLE_SQL", "tokens_col"]
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    from tablestructurerec_spark.sources.read import read_spread
+
+    return read_spread(spark, f"{sf_dir}/{name}.parquet")
 
 
 def tokens_col(text: Column) -> Column:

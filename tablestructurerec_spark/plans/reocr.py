@@ -367,7 +367,9 @@ def re_rec(
 # ---------------------------------------------------------------------------
 
 def _reocr_inputs(spark, sf_dir: str):
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from tablestructurerec_spark.sources.read import read_spread
+
+    docs = read_spread(spark, f"{sf_dir}/documents.parquet")
     base = docs.select(
         F.col("source").alias("conv_id"),
         (F.col("doc_id") % 50).cast("int").alias("turn_idx"),

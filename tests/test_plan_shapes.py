@@ -209,5 +209,8 @@ def test_flagship_transcripts_have_no_window_shuffle(spark):
 
     plan = _plan(entry_mod.queries()["flagship_extract"](spark, SF))
     assert "Window" not in plan
-    # exactly one exchange: the final driver-contract orderBy
-    assert plan.count("Exchange") == 1
+    # exactly one semantic exchange (the final driver-contract orderBy);
+    # the guarded read_spread round-robin (input-split equalization on
+    # under-split sources, a no-op at scale) is the only other one allowed
+    n_spread = 1 if "RoundRobinPartitioning" in plan else 0
+    assert plan.count("Exchange") - n_spread == 1
