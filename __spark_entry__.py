@@ -175,9 +175,9 @@ def _conv_turn_cols():
 
 
 def _transcripts_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from tablestructurerec_spark.sources.read import read_spread
+    from tablestructurerec_spark.sources.read import read_table
 
-    docs = read_spread(spark, f"{sf_dir}/documents.parquet")
+    docs = read_table(spark, sf_dir, "documents")
     table0 = F.concat(F.lit("<html><body>"), _pick_tpl(_tpl_col), F.lit("</body></html>"))
     table1 = F.when(
         F.col("doc_id") % 3 == 0,
@@ -282,9 +282,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         preds = extract_tables(df).where(F.col("table_idx") == 0).select(
             "conv_id", "turn_idx", "logic_points"
         )
-        from tablestructurerec_spark.sources.read import read_spread
+        from tablestructurerec_spark.sources.read import read_table
 
-        docs = read_spread(spark, f"{sf_dir}/documents.parquet")
+        docs = read_table(spark, sf_dir, "documents")
         conv, turn = _conv_turn_cols()
         golden = docs.select(
             conv,

@@ -206,9 +206,9 @@ def _minhash_prod(spark, sf: float) -> None:
     n_hashes, band_rows = 128, 8
     sf_dir = SF_DIR
     if mult > 1:
-        from tablestructurerec_spark.sources.read import read_spread
+        from tablestructurerec_spark.sources.read import read_table
 
-        docs = read_spread(spark, f"{SF_DIR}/documents.parquet")
+        docs = read_table(spark, SF_DIR, "documents")
         # shift by max(doc_id)+1, not count: sparse/offset id spaces must
         # not collide across replicas
         stride = docs.agg(F.max("doc_id")).collect()[0][0] + 1

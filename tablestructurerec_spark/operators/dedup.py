@@ -51,9 +51,9 @@ del _rng
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    from tablestructurerec_spark.sources.read import read_spread
+    from tablestructurerec_spark.sources.read import read_table
 
-    return read_spread(spark, f"{sf_dir}/{name}.parquet")
+    return read_table(spark, sf_dir, name)
 
 
 def shingles_col(toks: Column) -> Column:

@@ -15,11 +15,13 @@ top of the dedup/similarity/textstats suite:
   array sizes, all inside whole-stage codegen.
 * **Benchmark decontamination** (``dedup_decontaminate``) — 5-token-shingle
   overlap between the training corpus and a benchmark set (here derived
-  deterministically: every ``doc_id % 11 == 0`` document's 200-char prefix
-  stands in for a leaked eval prompt).  The 100 TB shape: the benchmark
-  shingle set is *small* and explicitly ``broadcast()``; the training side
-  streams through a map-side hash join — no shuffle of the big side, then
-  one partial-agg shuffle on ``doc_id`` for the per-doc rollup.
+  deterministically: every ``doc_id % 11 == 0`` document under a FIXED id
+  cap contributes its 200-char prefix as a leaked eval prompt, so the bench
+  set is bounded at any corpus size — like a real external benchmark
+  table).  The 100 TB shape: the benchmark shingle set is *small and
+  fixed-size*, explicitly ``broadcast()``; the training side streams
+  through a map-side hash join — no shuffle of the big side, then one
+  partial-agg shuffle on ``doc_id`` for the per-doc rollup.
 
 Each query has an ANSI-SQL DuckDB oracle over the same parquet.
 """
@@ -31,15 +33,15 @@ from typing import Callable, Dict
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .textstats import _TOKENS_SQL, tokens_col
+from .textstats import _TOKENS_SQL, tokens_col, tokens_sql
 
 __all__ = ["QUERIES", "ORACLE_SQL"]
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    from tablestructurerec_spark.sources.read import read_spread
+    from tablestructurerec_spark.sources.read import read_table
 
-    return read_spread(spark, f"{sf_dir}/{name}.parquet")
+    return read_table(spark, sf_dir, name)
 
 
 # ---------------------------------------------------------------------------
@@ -294,6 +296,12 @@ _DECON_K = 5  # shingle width (tokens)
 _DECON_MOD = 11  # every doc_id % 11 == 0 contributes a benchmark prompt
 _DECON_PREFIX = 200  # chars of the doc used as the leaked prompt
 _DECON_MIN_OVERLAP = 3  # shingle hits to flag contamination
+# The bench set must be FIXED-SIZE for the broadcast claim to hold at any
+# corpus scale (a real benchmark is an external table of a few thousand
+# prompts).  Capping the id range bounds it to <= _DECON_MAX_ID/_DECON_MOD
+# rows no matter how big `documents` grows; a pure fraction-of-corpus
+# selection would make the broadcast side O(corpus) — a driver OOM at 100 TB.
+_DECON_MAX_ID = 100_000
 
 
 def _shingle5(toks: Column) -> Column:
@@ -313,7 +321,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(F.array_distinct(_shingle5(F.col("toks")))).alias("sh"))
     )
     bench_sh = (
-        docs.where(F.col("doc_id") % _DECON_MOD == 0)
+        docs.where((F.col("doc_id") % _DECON_MOD == 0) & (F.col("doc_id") < _DECON_MAX_ID))
         .select(
             F.col("doc_id").alias("bench_id"),
             tokens_col(F.substring("text", 1, _DECON_PREFIX)).alias("toks"),
@@ -331,8 +339,12 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("int").alias("n_bench_partners"),
         F.max("overlap").cast("int").alias("max_overlap"),
     )
+    # plain read for the join side: it carries only doc_id and is about to
+    # be hash-shuffled by the join anyway — spreading it first would be a
+    # redundant exchange (the relational-style opt-out case)
+    all_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
     return (
-        docs.select("doc_id")
+        all_docs
         .join(per_doc, "doc_id", "left")
         .select(
             "doc_id",
@@ -358,8 +370,9 @@ WITH train AS (
 ), bench AS (
   SELECT bench_id, unnest({_DECON_SH_SQL}) AS sh
   FROM (SELECT doc_id AS bench_id,
-               {_TOKENS_SQL.replace('lower(text)', f'lower(substr(text, 1, {_DECON_PREFIX}))')} AS toks
-        FROM documents WHERE doc_id % {_DECON_MOD} = 0)
+               {tokens_sql(f'substr(text, 1, {_DECON_PREFIX})')} AS toks
+        FROM documents
+        WHERE doc_id % {_DECON_MOD} = 0 AND doc_id < {_DECON_MAX_ID})
 ), overlap AS (
   SELECT t.doc_id, b.bench_id, count(*) AS overlap
   FROM train t JOIN bench b USING (sh)

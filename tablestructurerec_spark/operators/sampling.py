@@ -37,9 +37,9 @@ _U32 = float(1 << 32)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    from tablestructurerec_spark.sources.read import read_spread
+    from tablestructurerec_spark.sources.read import read_table
 
-    return read_spread(spark, f"{sf_dir}/{name}.parquet")
+    return read_table(spark, sf_dir, name)
 
 
 def _hash_uniform(salt: str, key: Column) -> Column:

@@ -32,9 +32,9 @@ __all__ = ["QUERIES", "ORACLE_SQL"]
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    from tablestructurerec_spark.sources.read import read_spread
+    from tablestructurerec_spark.sources.read import read_table
 
-    return read_spread(spark, f"{sf_dir}/{name}.parquet")
+    return read_table(spark, sf_dir, name)
 
 
 def _dot(a: Column, b: Column) -> Column:

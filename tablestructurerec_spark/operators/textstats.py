@@ -18,9 +18,9 @@ __all__ = ["QUERIES", "ORACLE_SQL", "tokens_col"]
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    from tablestructurerec_spark.sources.read import read_spread
+    from tablestructurerec_spark.sources.read import read_table
 
-    return read_spread(spark, f"{sf_dir}/{name}.parquet")
+    return read_table(spark, sf_dir, name)
 
 
 def tokens_col(text: Column) -> Column:
@@ -31,10 +31,16 @@ def tokens_col(text: Column) -> Column:
     )
 
 
-_TOKENS_SQL = (
-    "list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'),"
-    " ' '), x -> x <> '')"
-)
+def tokens_sql(expr: str = "text") -> str:
+    """DuckDB twin of :func:`tokens_col`, parameterized on the text
+    expression (no string surgery at call sites)."""
+    return (
+        f"list_filter(string_split_regex(regexp_replace(lower({expr}), '[^a-z0-9]+', ' ', 'g'),"
+        " ' '), x -> x <> '')"
+    )
+
+
+_TOKENS_SQL = tokens_sql()
 
 
 # ---------------------------------------------------------------------------

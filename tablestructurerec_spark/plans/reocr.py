@@ -367,9 +367,9 @@ def re_rec(
 # ---------------------------------------------------------------------------
 
 def _reocr_inputs(spark, sf_dir: str):
-    from tablestructurerec_spark.sources.read import read_spread
+    from tablestructurerec_spark.sources.read import read_table
 
-    docs = read_spread(spark, f"{sf_dir}/documents.parquet")
+    docs = read_table(spark, sf_dir, "documents")
     base = docs.select(
         F.col("source").alias("conv_id"),
         (F.col("doc_id") % 50).cast("int").alias("turn_idx"),

@@ -22,24 +22,43 @@ for a scan feeding CPU-heavy projections.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["read_spread"]
+__all__ = ["read_spread", "read_table"]
 
 # The split-count probe (df.rdd.getNumPartitions()) runs no job but does
-# plan the scan — a few hundred ms of JVM round-trips.  Split layout is
-# fixed for a given (session, path), so probe once per process.
+# plan the scan — a few hundred ms of JVM round-trips.  Probe once per
+# (path, parallelism, file fingerprint); the mtime/size component means a
+# rewritten file re-probes instead of silently keeping a stale count.
 _PROBE_CACHE: dict = {}
+
+
+def _fingerprint(path: str):
+    try:
+        st = os.stat(path)
+        return (st.st_mtime_ns, st.st_size)
+    except OSError:
+        return None  # non-local / unstat-able: never cache
 
 
 def read_spread(spark: SparkSession, path: str) -> DataFrame:
     df = spark.read.parquet(path)
     target = spark.sparkContext.defaultParallelism
-    key = (id(spark), path, target)
-    n = _PROBE_CACHE.get(key)
+    fp = _fingerprint(path)
+    key = (path, target, fp)
+    n = _PROBE_CACHE.get(key) if fp is not None else None
     if n is None:
         n = df.rdd.getNumPartitions()
-        _PROBE_CACHE[key] = n
+        if fp is not None:
+            _PROBE_CACHE[key] = n
     if n < target:
         df = df.repartition(target)
     return df
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read ``{sf_dir}/{name}.parquet`` with input-split equalization — the
+    shared read idiom of the per-row-heavy operator modules."""
+    return read_spread(spark, f"{sf_dir}/{name}.parquet")
