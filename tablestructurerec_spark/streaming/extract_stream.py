@@ -29,7 +29,24 @@ __all__ = [
     "stream_extract_tables",
     "stream_turn_stats",
     "stream_conversation_sessions",
+    "stream_dedup_turns",
 ]
+
+
+def stream_dedup_turns(stream_df: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Streaming exact dedup on turn content: the streaming twin of the
+    batch hash-groupBy keep-first (``d1_dedup_exact``).
+
+    ``dropDuplicatesWithinWatermark`` keeps state O(distinct hashes inside
+    the watermark horizon) instead of O(all-time distinct) — the only
+    stream-dedup shape that survives an unbounded 10^12-turn ingest.  The
+    dedup key is the md5 of the content, not the content itself, so state
+    rows stay ~32 bytes of key regardless of turn size.
+    """
+    keyed = stream_df.withColumn("content_hash", F.md5(F.col("text")))
+    return keyed.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["content_hash"]
+    )
 
 
 def stream_extract_tables(stream_df: DataFrame) -> DataFrame:

@@ -411,3 +411,39 @@ def test_duration_parser_grammar():
         _duration_ms("1 fortnight")
     with pytest.raises(ValueError, match="bad duration"):
         _duration_ms("soon")
+
+
+def test_stream_dedup_matches_batch_distinct(spark, tmp_path):
+    """Streaming exact dedup emits exactly one row per distinct content
+    hash (the batch keep-first semantics' deterministic part)."""
+    import datetime as dt
+
+    from tablestructurerec_spark.streaming.extract_stream import stream_dedup_turns
+
+    schema = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    t0 = dt.datetime(2025, 1, 1)
+    rows = []
+    for i in range(30):
+        # 10 distinct texts, each repeated 3x within the watermark horizon
+        rows.append((f"c{i}", 0, "u", f"text-{i % 10}", None, t0 + dt.timedelta(seconds=i)))
+    src_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("s", "o", "c"))
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src_dir)
+
+    q = (
+        stream_dedup_turns(
+            spark.readStream.schema(spark.read.parquet(src_dir).schema).parquet(src_dir)
+        )
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(out_dir).collect()
+    texts = sorted(r.text for r in got)
+    assert texts == sorted(f"text-{i}" for i in range(10))
+    batch = {r.text for r in spark.read.parquet(src_dir).dropDuplicates(["text"]).collect()}
+    assert set(texts) == batch
