@@ -266,6 +266,12 @@ def q_ann_ivf_topk(
     cents = emb.where((F.col("vec_id") >= 1) & (F.col("vec_id") <= n_lists)).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
     )
+    return _ivf_from_centroids(emb, cents, nprobe)
+
+
+def _ivf_from_centroids(emb: DataFrame, cents: DataFrame, nprobe: int) -> DataFrame:
+    """Shared IVF plumbing: assignment, probing, exact re-rank — identical
+    for seed-vector and trained quantizers."""
     # nearest list per vector: broadcast x centroids, min struct(dist, cid)
     assigned = (
         emb.crossJoin(F.broadcast(cents))
@@ -311,6 +317,42 @@ def q_ann_ivf_topk(
         .select("vec_id", "label", "list_id", "cos", F.row_number().over(w).cast("int").alias("rk"))
         .orderBy("rk")
     )
+
+
+def q_ann_ivf_kmeans_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    n_lists: int = _IVF_LISTS,
+    nprobe: int = _IVF_NPROBE,
+) -> DataFrame:
+    """IVF with a TRAINED coarse quantizer: MLlib k-means (fixed seed) fits
+    the list centroids, then the exact same assignment/probe/re-rank
+    plumbing as :func:`q_ann_ivf_topk` runs over them.
+
+    At 100 TB the quantizer trains on a deterministic SAMPLE (k-means cost
+    is per-training-row; a few million rows fix 2^10-2^16 centroids), and
+    the fitted centers — O(n_lists · dim) — broadcast exactly like the
+    seed-vector table.  k-means is not ANSI-SQL-expressible, so this entry
+    has no DuckDB oracle (driver does the rows-only check); its quality is
+    pinned by the ≥0.8 recall@10 test on clustered data and determinism by
+    a repeat-run equality test.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    emb = _t(spark, sf_dir, "embeddings")
+    train = (
+        emb.where(F.col("vec_id") != 0)
+        # sample cap: quantizer cost stays fixed as the corpus grows
+        .where(F.col("vec_id") % 97 < 64)
+        .select(array_to_vector(F.col("embedding").cast("array<double>")).alias("features"))
+    )
+    model = KMeans(k=n_lists, seed=42, maxIter=8).fit(train)
+    cents = emb.sparkSession.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cid int, cv array<double>",
+    )
+    return _ivf_from_centroids(emb, cents, nprobe)
 
 
 _SQDIST_SQL = "round(list_sum(list_transform(list_zip({a}, {b}), p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) ** 2)), 6)"
@@ -420,6 +462,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_bruteforce_topk": q_ann_bruteforce,
     "ann_lsh_bucket_topk": q_ann_lsh_bucket,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_ivf_kmeans_topk": q_ann_ivf_kmeans_topk,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
 }
 

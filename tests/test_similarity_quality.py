@@ -61,6 +61,23 @@ def test_bucketed_ann_recall_on_clustered_data(spark, clustered_dir):
     assert ivf_recall >= 0.8, ivf_recall
 
 
+def test_kmeans_ivf_recall_and_determinism(spark, clustered_dir):
+    from tablestructurerec_spark.operators.similarity import (
+        q_ann_bruteforce,
+        q_ann_ivf_kmeans_topk,
+    )
+
+    brute = set(_top_ids(q_ann_bruteforce(spark, clustered_dir)))
+    run1 = q_ann_ivf_kmeans_topk(spark, clustered_dir).collect()
+    recall = len(brute & {r.vec_id for r in run1}) / 10
+    # a trained quantizer on genuinely clustered data should be no worse
+    # than the seed-vector quantizer's bar
+    assert recall >= 0.8, recall
+    # fixed seed + deterministic sample => repeat runs agree exactly
+    run2 = q_ann_ivf_kmeans_topk(spark, clustered_dir).collect()
+    assert [tuple(r) for r in run1] == [tuple(r) for r in run2]
+
+
 def test_true_neighbors_share_query_cluster(spark, clustered_dir):
     from tablestructurerec_spark.operators.similarity import q_ann_bruteforce
 
