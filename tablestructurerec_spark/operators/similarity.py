@@ -346,6 +346,9 @@ def q_ann_ivf_kmeans_topk(
         # sample cap: quantizer cost stays fixed as the corpus grows
         .where(F.col("vec_id") % 97 < 64)
         .select(array_to_vector(F.col("embedding").cast("array<double>")).alias("features"))
+        # the capped sample is small by construction; k-means runs many tiny
+        # jobs per iteration, so fewer partitions beat scan parallelism here
+        .coalesce(8)
     )
     model = KMeans(k=n_lists, seed=42, maxIter=8).fit(train)
     cents = emb.sparkSession.createDataFrame(
