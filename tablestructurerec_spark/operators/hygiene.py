@@ -507,10 +507,79 @@ ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# corpus-level repeated n-gram mining (boilerplate / memorization-risk scan)
+# ---------------------------------------------------------------------------
+_BP_MIN_DOCS = 3
+_BP_TOPN = 20
+_BP_SENTINEL = "this message was generated by an automated assistant"
+
+
+def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top cross-document repeated 5-gram phrases — the scan that finds
+    template boilerplate (and memorization-risk strings) in a corpus.
+
+    Shape: per-doc DISTINCT shingles (so one spammy doc cannot inflate a
+    phrase) → explode → ONE partial-agg shuffle on the shingle → top-N
+    (TakeOrderedAndProject).  The `%5` sentinel plants genuine boilerplate
+    in the synthetic corpus so the operator returns real hits.
+    """
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat("text", F.lit(" " + _BP_SENTINEL + ".")),
+        ).otherwise(F.col("text")),
+    )
+    toks = docs.select("doc_id", tokens_col(F.col("text")).alias("toks"))
+    n = F.size("toks") - (_DECON_K - 1)
+    grams = F.when(
+        n >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i, _DECON_K)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        toks.select("doc_id", F.explode(F.array_distinct(grams)).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_docs"))
+        .where(F.col("n_docs") >= _BP_MIN_DOCS)
+        .orderBy(F.desc("n_docs"), F.asc("gram"))
+        .limit(_BP_TOPN)
+    )
+
+
+_BOILERPLATE_SQL = f"""
+WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0
+              THEN text || ' {_BP_SENTINEL}.'
+              ELSE text END AS text
+  FROM documents
+), toks AS (
+  SELECT doc_id, {_TOKENS_SQL} AS toks FROM aug
+), grams AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+             range(1, greatest(len(toks) - {_DECON_K - 1}, 0) + 1),
+             i -> array_to_string(toks[i:i + {_DECON_K - 1}], ' ')))) AS gram
+  FROM toks
+)
+SELECT gram, CAST(count(*) AS INT) AS n_docs
+FROM grams
+GROUP BY gram
+HAVING count(*) >= {_BP_MIN_DOCS}
+ORDER BY n_docs DESC, gram ASC
+LIMIT {_BP_TOPN}
+"""
+
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_pii_scrub": q_pii_scrub,
     "t_repetition": q_repetition,
     "t_corpus_filter": q_corpus_filter,
+    "t_boilerplate_ngrams": q_boilerplate_ngrams,
     "dedup_decontaminate": q_decontaminate,
 }
 
@@ -518,5 +587,6 @@ ORACLE_SQL: Dict[str, str] = {
     "t_pii_scrub": _PII_SCRUB_SQL,
     "t_repetition": _REPETITION_SQL,
     "t_corpus_filter": _CORPUS_FILTER_SQL,
+    "t_boilerplate_ngrams": _BOILERPLATE_SQL,
     "dedup_decontaminate": _DECONTAMINATE_SQL,
 }
