@@ -439,12 +439,22 @@ def q_dedup_components(
     # clique-shaped dup groups (the common near-dup case) this is already
     # the fixpoint, so the loop runs once to detect convergence instead of
     # propagate + detect — one fewer join+barrier+action round.
-    labels = barrier(
+    from pyspark.sql import Observation
+
+    def barrier_observed(df: DataFrame):
+        """Checkpoint + convergence sum in ONE action: the eager checkpoint
+        already executes the plan, so an observe() metric rides along for
+        free instead of costing a separate aggregate job per round."""
+        obs = Observation()
+        df = df.observe(obs, F.coalesce(F.sum("component"), F.lit(0)).alias("s"))
+        return barrier(df), obs
+
+    labels, obs = barrier_observed(
         edges.groupBy("src")
         .agg(F.least(F.first("src"), F.min("dst")).alias("component"))
         .select(F.col("src").alias("doc_id"), "component")
     )
-    prev_sum = labels.agg(F.sum("component")).collect()[0][0] or 0
+    prev_sum = obs.get["s"]
     while True:
         neighbor_min = (
             edges.join(labels, edges.dst == labels.doc_id)
@@ -470,10 +480,11 @@ def q_dedup_components(
                 ).alias("component"),
             )
         )
-        labels = barrier(labels)  # truncate the iterative lineage each round
-        # labels only ever decrease, so the sum is a strictly-monotone
-        # convergence witness — one cheap aggregate instead of a self-join
-        cur_sum = labels.agg(F.sum("component")).collect()[0][0] or 0
+        # truncate the iterative lineage each round; labels only ever
+        # decrease, so the observed sum is a strictly-monotone convergence
+        # witness riding the checkpoint action (no separate aggregate job)
+        labels, obs = barrier_observed(labels)
+        cur_sum = obs.get["s"]
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
