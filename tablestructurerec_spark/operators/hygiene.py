@@ -304,12 +304,16 @@ _DECON_MIN_OVERLAP = 3  # shingle hits to flag contamination
 _DECON_MAX_ID = 100_000
 
 
-def _shingle5(toks: Column) -> Column:
+def _shingle5(toks: Column, hashed: bool = True) -> Column:
+    """Sliding 5-gram shingles; ``hashed`` md5s each gram (decontamination
+    keys), ``hashed=False`` keeps the phrase text (boilerplate mining)."""
     n = F.size(toks) - (_DECON_K - 1)
-    seq = F.transform(
-        F.sequence(F.lit(1), n),
-        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, _DECON_K))),
-    )
+
+    def gram(i: Column) -> Column:
+        g = F.concat_ws(" ", F.slice(toks, i, _DECON_K))
+        return F.md5(g) if hashed else g
+
+    seq = F.transform(F.sequence(F.lit(1), n), gram)
     # sequence(1, 0) is the DESCENDING [1, 0] in Spark, not empty — guard.
     return F.when(n >= 1, seq).otherwise(F.array().cast("array<string>"))
 
@@ -532,14 +536,7 @@ def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.col("text")),
     )
     toks = docs.select("doc_id", tokens_col(F.col("text")).alias("toks"))
-    n = F.size("toks") - (_DECON_K - 1)
-    grams = F.when(
-        n >= 1,
-        F.transform(
-            F.sequence(F.lit(1), n),
-            lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i, _DECON_K)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    grams = _shingle5(F.col("toks"), hashed=False)
     return (
         toks.select("doc_id", F.explode(F.array_distinct(grams)).alias("gram"))
         .groupBy("gram")

@@ -239,6 +239,9 @@ LIMIT {_TOPK}
 # ---------------------------------------------------------------------------
 _IVF_LISTS = 16  # coarse centroids = embeddings of vec_id 1.._IVF_LISTS
 _IVF_NPROBE = 2
+# trained-quantizer sample bound: fixed id RANGE so the k-means training set
+# stays O(1) as the corpus grows (never a fraction of the corpus)
+_KMEANS_SAMPLE_MAX_ID = 131_072
 
 
 def _sqdist(a: Column, b: Column) -> Column:
@@ -329,8 +332,9 @@ def q_ann_ivf_kmeans_topk(
     the list centroids, then the exact same assignment/probe/re-rank
     plumbing as :func:`q_ann_ivf_topk` runs over them.
 
-    At 100 TB the quantizer trains on a deterministic SAMPLE (k-means cost
-    is per-training-row; a few million rows fix 2^10-2^16 centroids), and
+    At 100 TB the quantizer trains on a deterministic BOUNDED sample
+    (k-means cost is per-training-row; a fixed id range caps it — a few
+    hundred thousand rows fix 2^10-2^16 centroids), and
     the fitted centers — O(n_lists · dim) — broadcast exactly like the
     seed-vector table.  k-means is not ANSI-SQL-expressible, so this entry
     has no DuckDB oracle (driver does the rows-only check); its quality is
@@ -343,8 +347,12 @@ def q_ann_ivf_kmeans_topk(
     emb = _t(spark, sf_dir, "embeddings")
     train = (
         emb.where(F.col("vec_id") != 0)
-        # sample cap: quantizer cost stays fixed as the corpus grows
-        .where(F.col("vec_id") % 97 < 64)
+        # sample cap: a FIXED id range, not a fraction — a %-of-corpus
+        # selection would make the training set O(corpus) and KMeans.fit
+        # unboundedly expensive at 10^12 rows (same bounding rule as
+        # hygiene._DECON_MAX_ID).  <= _KMEANS_SAMPLE_MAX_ID rows no matter
+        # how big `embeddings` grows; covers the whole table at bench SF.
+        .where(F.col("vec_id") < _KMEANS_SAMPLE_MAX_ID)
         .select(array_to_vector(F.col("embedding").cast("array<double>")).alias("features"))
         # the capped sample is small by construction; k-means runs many tiny
         # jobs per iteration, so fewer partitions beat scan parallelism here

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import os
 import shutil
+from urllib.parse import unquote, urlparse
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -44,11 +45,18 @@ def write_bucketed(
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     # a location orphaned by a previous session (table gone from this
     # session's metastore, directory still on disk) fails saveAsTable with
-    # LOCATION_ALREADY_EXISTS — clear it
+    # LOCATION_ALREADY_EXISTS — clear it.  Only the simple local-warehouse
+    # case is handled (unqualified name, file: or schemeless warehouse);
+    # qualified names / remote warehouses resolve their location in the
+    # catalog, not here.
+    name = table.strip().lower()
     warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-    loc = os.path.join(warehouse.removeprefix("file:"), table.lower())
-    if os.path.isdir(loc):
-        shutil.rmtree(loc)
+    parsed = urlparse(warehouse)
+    if name and "." not in name and parsed.scheme in ("", "file"):
+        wh_path = unquote(parsed.path) if parsed.scheme == "file" else warehouse
+        loc = os.path.join(wh_path, name)
+        if os.path.isdir(loc):
+            shutil.rmtree(loc)
     keys = [keys] if isinstance(keys, str) else list(keys)
     writer = df.write.mode("overwrite").format("parquet").bucketBy(
         n_buckets, keys[0], *keys[1:]
@@ -76,7 +84,12 @@ def bucketed_extraction_tables(
 
     turns, tables = extract_transcripts(transcripts)
     t_turns, t_tables = f"{prefix}_turns", f"{prefix}_tables"
-    write_bucketed(turns, t_turns, ["conv_id", "turn_idx"], n_buckets)
+    write_bucketed(
+        turns.select("conv_id", "turn_idx", "main_text"),
+        t_turns,
+        ["conv_id", "turn_idx"],
+        n_buckets,
+    )
     write_bucketed(
         tables.select(
             "conv_id", "turn_idx", "table_idx", "table_kind", "pred_html", "n_cells"

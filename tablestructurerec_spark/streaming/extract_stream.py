@@ -44,9 +44,12 @@ def stream_dedup_turns(stream_df: DataFrame, watermark: str = "10 minutes") -> D
     rows stay ~32 bytes of key regardless of turn size.
     """
     keyed = stream_df.withColumn("content_hash", F.md5(F.col("text")))
-    return keyed.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+    deduped = keyed.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["content_hash"]
     )
+    # emit the INPUT schema — the helper key is internal; every stream_*
+    # twin matches its batch twin's columns exactly
+    return deduped.drop("content_hash")
 
 
 def stream_extract_tables(stream_df: DataFrame) -> DataFrame:
