@@ -132,25 +132,20 @@ def _banded_buckets_udf(n_hashes: int, band_rows: int):
     return F.pandas_udf(buckets, "array<string>")
 
 
-def q_dedup_minhash_lsh(
-    spark: SparkSession,
-    sf_dir: str,
-    n_hashes: int = _N_HASHES,
-    band_rows: int = _BAND_ROWS,
-) -> DataFrame:
-    # ``n_hashes``/``band_rows`` are the production knobs (128 permutations,
-    # 4-8 rows per band in real pipelines; the defaults are bench-sized and
-    # pinned by the DuckDB oracle).  The plan SHAPE is identical at any
-    # size: signatures stay map-side on the scan, the self-join is on
-    # (band, bucket).  ONE md5 per shingle, folded to 31 bits; the k
-    # permutations are pure integer affine transforms (universal hashing).
+def _hv_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, hv): ONE md5 per shingle, folded to 31 bits — the shared
+    input of every minhash face (batch LSH, production widths, incremental)."""
     hv = F.transform(
         shingles_col(tokens_col(F.col("text"))),
         lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
         % F.lit(1 << 31),
     )
-    docs = _t(spark, sf_dir, "documents").select("doc_id", hv.alias("hv"))
+    return _t(spark, sf_dir, "documents").select("doc_id", hv.alias("hv"))
 
+
+def _banded_docs(docs: DataFrame, n_hashes: int, band_rows: int) -> DataFrame:
+    """(doc_id, band, bucket) from (doc_id, hv) — the k permutations are pure
+    integer affine transforms (universal hashing)."""
     if n_hashes >= _VECTORIZE_MIN_HASHES:
         # production-width signatures: one Arrow-batched numpy kernel per
         # batch computes all k mins at once (see _VECTORIZE_MIN_HASHES note).
@@ -194,6 +189,21 @@ def q_dedup_minhash_lsh(
         banded = docs.select("doc_id", F.explode(bands).alias("b")).select(
             "doc_id", F.col("b.band").alias("band"), F.col("b.bucket").alias("bucket")
         )
+    return banded
+
+
+def q_dedup_minhash_lsh(
+    spark: SparkSession,
+    sf_dir: str,
+    n_hashes: int = _N_HASHES,
+    band_rows: int = _BAND_ROWS,
+) -> DataFrame:
+    # ``n_hashes``/``band_rows`` are the production knobs (128 permutations,
+    # 4-8 rows per band in real pipelines; the defaults are bench-sized and
+    # pinned by the DuckDB oracle).  The plan SHAPE is identical at any
+    # size: signatures stay map-side on the scan, the self-join is on
+    # (band, bucket).
+    banded = _banded_docs(_hv_docs(spark, sf_dir), n_hashes, band_rows)
     # exchange barrier: materialize the signatures ONCE per row before the
     # self-join — otherwise Catalyst inlines the whole signature tree into
     # both join sides and recomputes it per candidate pair.  The hash
@@ -215,7 +225,10 @@ def q_dedup_minhash_lsh(
     return pairs.orderBy("doc_a", "doc_b")
 
 
-def _minhash_oracle(n_hashes: int = _N_HASHES, band_rows: int = _BAND_ROWS) -> str:
+def _banded_cte(n_hashes: int = _N_HASHES, band_rows: int = _BAND_ROWS) -> str:
+    """The shared DuckDB CTE body producing banded(doc_id, band, bucket) —
+    byte-equal to :func:`_banded_docs` — reused by every minhash oracle."""
+
     def sig(i: int) -> str:
         a, b = _MINHASH_A[i], _MINHASH_B[i]
         return (
@@ -240,7 +253,12 @@ WITH sh_docs AS (
   FROM documents
 ), banded AS (
 {band_selects}
-)
+)"""
+
+
+def _minhash_oracle(n_hashes: int = _N_HASHES, band_rows: int = _BAND_ROWS) -> str:
+    return f"""
+{_banded_cte(n_hashes, band_rows)}
 SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
 FROM banded x JOIN banded y
   ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
@@ -527,6 +545,70 @@ ORDER BY d.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# incremental dedup: new batch vs a persisted corpus index
+# ---------------------------------------------------------------------------
+# A real 10^12-turn pipeline never re-LSHes the corpus per crawl increment:
+# the corpus's (band, bucket, doc_id) index is PERSISTED once (bucketed by
+# the band key — plans/bucketing.write_bucketed is the layout writer), and
+# each new batch computes only its own buckets and joins against it.  The
+# deterministic split below (doc_id % _INCR_MOD == _INCR_REM plays the "new
+# crawl"; the rest plays the indexed corpus) lets the driver oracle-check
+# the exact join semantics of that operational shape.
+_INCR_MOD = 10
+_INCR_REM = 7
+
+
+def q_dedup_incremental(
+    spark: SparkSession,
+    sf_dir: str,
+    n_hashes: int = _N_HASHES,
+    band_rows: int = _BAND_ROWS,
+) -> DataFrame:
+    """Near-dup matches of a NEW batch against an existing corpus index:
+    (new_doc, dup_of) for every band-bucket collision between a new document
+    and an indexed one.  New docs with no row here are genuinely new.
+
+    Scale shape: the split happens BEFORE signature computation, so each
+    document's signature is computed exactly once (one corpus pass of hash
+    work total, split across the two sides).  In deployment the index side
+    is not recomputed at all — it is read pre-banded from a table bucketed
+    by (band, bucket), so the 100 TB side joins with ZERO exchange and only
+    the increment shuffles (``tests/test_dedup_incremental.py`` pins that
+    plan differentially against the unbucketed layout).  Unlike
+    decontamination's fixed-size broadcast set, a crawl increment is
+    unbounded, so this is an equi-join, never a forced broadcast.
+    """
+    hv = _hv_docs(spark, sf_dir)
+    is_new = (F.col("doc_id") % _INCR_MOD) == _INCR_REM
+    new_b = _banded_docs(hv.where(is_new), n_hashes, band_rows).alias("n")
+    idx_b = _banded_docs(hv.where(~is_new), n_hashes, band_rows).alias("i")
+    return (
+        new_b.join(
+            idx_b,
+            (F.col("n.band") == F.col("i.band"))
+            & (F.col("n.bucket") == F.col("i.bucket")),
+        )
+        .select(
+            F.col("n.doc_id").alias("new_doc"), F.col("i.doc_id").alias("dup_of")
+        )
+        .distinct()
+        .orderBy("new_doc", "dup_of")
+    )
+
+
+def _incremental_oracle() -> str:
+    return f"""
+{_banded_cte()}
+SELECT DISTINCT y.doc_id AS new_doc, x.doc_id AS dup_of
+FROM banded y JOIN banded x
+  ON y.band = x.band AND y.bucket = x.bucket
+WHERE y.doc_id % {_INCR_MOD} = {_INCR_REM}
+  AND x.doc_id % {_INCR_MOD} <> {_INCR_REM}
+ORDER BY new_doc, dup_of
+"""
+
+
 def q_dedup_minhash_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SAME banded plan at production parameters (128 permutations x
     16 bands of 8) — driver-oracle-verified, so the production path is
@@ -537,6 +619,7 @@ def q_dedup_minhash_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_minhash_prod": q_dedup_minhash_prod,
+    "dedup_incremental": q_dedup_incremental,
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_components": q_dedup_components,
@@ -545,6 +628,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLE_SQL: Dict[str, str] = {
     "dedup_minhash_lsh": _minhash_oracle(),
     "dedup_minhash_prod": _minhash_oracle(n_hashes=128, band_rows=8),
+    "dedup_incremental": _incremental_oracle(),
     "dedup_simhash": _simhash_oracle(),
     "dedup_ngram_jaccard": _JACCARD_SQL,
     "dedup_components": _components_oracle(),
