@@ -176,14 +176,89 @@ ORDER BY lang
 """
 
 
+# ---------------------------------------------------------------------------
+# sequence packing — fixed token-budget bins per output shard
+# ---------------------------------------------------------------------------
+_PACK_BUDGET = 2048  # tokens per packed training sequence
+_PACK_SHARDS = 8  # parallel unit; real pipelines pack per output file
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy first-fit-in-order sequence packing: documents are laid into
+    fixed ``_PACK_BUDGET``-token bins in doc_id order within their shard —
+    the batch-construction step that turns a filtered corpus into
+    constant-length training sequences with minimal padding.
+
+    Packing is inherently sequential *within* an output shard (each doc's
+    bin depends on every earlier fill decision) and embarrassingly parallel
+    *across* shards — exactly the applyInPandas shape: shard = the group
+    key, one Arrow batch per shard, a tight per-group loop.  At corpus scale
+    the shard count scales with output files (thousands), so no group is
+    ever corpus-sized; the shuffle is one partial pass carrying
+    (doc_id, n_tokens), never text.  A doc longer than the budget gets a
+    bin of its own (truncation is the tokenizer's job, not the packer's).
+    """
+    import pandas as pd
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.pmod(F.col("doc_id"), F.lit(_PACK_SHARDS)).cast("int").alias("shard"),
+        F.size(tokens_col(F.col("text"))).alias("n_tokens"),
+    )
+
+    def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        bins, b, fill = [], 0, 0
+        for n in pdf["n_tokens"]:
+            if fill > 0 and fill + n > _PACK_BUDGET:
+                b, fill = b + 1, 0
+            bins.append(b)
+            fill += n
+        pdf["bin_idx"] = pd.Series(bins, dtype="int32")
+        return pdf
+
+    out = docs.groupBy("shard").applyInPandas(
+        pack, "doc_id long, shard int, n_tokens int, bin_idx int"
+    )
+    return out.select("doc_id", "shard", "n_tokens", "bin_idx").orderBy("doc_id")
+
+
+# the same fold as a recursive CTE: state = (bin, fill) threaded row-by-row
+# within each shard in doc_id order
+_PACK_SQL = f"""
+WITH RECURSIVE t AS (
+  SELECT doc_id,
+         CAST(doc_id % {_PACK_SHARDS} AS INT) AS shard,
+         CAST(len({_TOKENS_SQL}) AS INT) AS n_tokens,
+         row_number() OVER (PARTITION BY doc_id % {_PACK_SHARDS} ORDER BY doc_id) AS rn
+  FROM documents
+), packed AS (
+  SELECT shard, doc_id, n_tokens, rn, 0 AS bin_idx, n_tokens AS fill
+  FROM t WHERE rn = 1
+  UNION ALL
+  SELECT t.shard, t.doc_id, t.n_tokens, t.rn,
+         CASE WHEN p.fill > 0 AND p.fill + t.n_tokens > {_PACK_BUDGET}
+              THEN p.bin_idx + 1 ELSE p.bin_idx END,
+         CASE WHEN p.fill > 0 AND p.fill + t.n_tokens > {_PACK_BUDGET}
+              THEN t.n_tokens ELSE p.fill + t.n_tokens END
+  FROM t JOIN packed p ON t.shard = p.shard AND t.rn = p.rn + 1
+)
+SELECT doc_id, shard, n_tokens, CAST(bin_idx AS INT) AS bin_idx
+FROM packed
+ORDER BY doc_id
+"""
+
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_split_assign": q_split_assign,
     "t_stratified_sample": q_stratified_sample,
     "t_domain_mix": q_domain_mix,
+    "t_pack_sequences": q_pack_sequences,
 }
 
 ORACLE_SQL: Dict[str, str] = {
     "t_split_assign": _SPLIT_ASSIGN_SQL,
     "t_stratified_sample": _STRATIFIED_SAMPLE_SQL,
     "t_domain_mix": _DOMAIN_MIX_SQL,
+    "t_pack_sequences": _PACK_SQL,
 }
