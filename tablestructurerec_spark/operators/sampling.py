@@ -198,9 +198,16 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id, n_tokens), never text.  A doc longer than the budget gets a
     bin of its own (truncation is the tokenizer's job, not the packer's).
     """
+    docs = _t(spark, sf_dir, "documents")
+    return _pack_docs(docs)
+
+
+def _pack_docs(docs: DataFrame) -> DataFrame:
+    """The packing fold over any (doc_id, text, ...) frame — shared by the
+    standalone query and the end-to-end pipeline composition."""
     import pandas as pd
 
-    docs = _t(spark, sf_dir, "documents").select(
+    sized = docs.select(
         "doc_id",
         F.pmod(F.col("doc_id"), F.lit(_PACK_SHARDS)).cast("int").alias("shard"),
         F.size(tokens_col(F.col("text"))).alias("n_tokens"),
@@ -217,7 +224,7 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         pdf["bin_idx"] = pd.Series(bins, dtype="int32")
         return pdf
 
-    out = docs.groupBy("shard").applyInPandas(
+    out = sized.groupBy("shard").applyInPandas(
         pack, "doc_id long, shard int, n_tokens int, bin_idx int"
     )
     return out.select("doc_id", "shard", "n_tokens", "bin_idx").orderBy("doc_id")
@@ -249,11 +256,78 @@ ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# end-to-end pipeline composition: filter → split → pack, one plan
+# ---------------------------------------------------------------------------
+def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full selection pipeline as ONE composed Catalyst plan: corpus
+    filter keeps a document, the content-stable split sends it to train,
+    packing lays it into a token-budget bin.
+
+    This is the integration face — it proves the operators compose without
+    materialization barriers between stages.  Plan shape: the filter's one
+    content-hash shuffle → doc_id join back to documents (both sides hash on
+    doc_id) → the packer's shard shuffle carrying (doc_id, n_tokens) only.
+    Three shuffles end-to-end for filter+split+pack of a corpus; nothing
+    collects, nothing broadcasts an unbounded side.
+    """
+    from .hygiene import q_corpus_filter
+
+    kept = (
+        q_corpus_filter(spark, sf_dir)
+        .where(F.col("decision") == "keep")
+        .select("doc_id")
+    )
+    bucket = F.floor(_hash_uniform(_SPLIT_SALT, F.col("doc_id")) * _N_BUCKETS).cast("int")
+    train = kept.where(bucket <= 7)
+    docs = _t(spark, sf_dir, "documents").join(train, "doc_id")
+    return _pack_docs(docs)
+
+
+def _pipeline_e2e_sql() -> str:
+    filt = _CORPUS_FILTER_SQL_REF()
+    return f"""
+WITH RECURSIVE filt AS (
+{filt}
+), tr AS (
+  SELECT doc_id FROM filt
+  WHERE decision = 'keep'
+    AND CAST(floor({_hash_uniform_sql(_SPLIT_SALT, 'doc_id')} * {_N_BUCKETS}) AS INT) <= 7
+), t AS (
+  SELECT d.doc_id,
+         CAST(d.doc_id % {_PACK_SHARDS} AS INT) AS shard,
+         CAST(len({_TOKENS_SQL}) AS INT) AS n_tokens,
+         row_number() OVER (PARTITION BY d.doc_id % {_PACK_SHARDS} ORDER BY d.doc_id) AS rn
+  FROM documents d JOIN tr USING (doc_id)
+), packed AS (
+  SELECT shard, doc_id, n_tokens, rn, 0 AS bin_idx, n_tokens AS fill
+  FROM t WHERE rn = 1
+  UNION ALL
+  SELECT t.shard, t.doc_id, t.n_tokens, t.rn,
+         CASE WHEN p.fill > 0 AND p.fill + t.n_tokens > {_PACK_BUDGET}
+              THEN p.bin_idx + 1 ELSE p.bin_idx END,
+         CASE WHEN p.fill > 0 AND p.fill + t.n_tokens > {_PACK_BUDGET}
+              THEN t.n_tokens ELSE p.fill + t.n_tokens END
+  FROM t JOIN packed p ON t.shard = p.shard AND t.rn = p.rn + 1
+)
+SELECT doc_id, shard, n_tokens, CAST(bin_idx AS INT) AS bin_idx
+FROM packed
+ORDER BY doc_id
+"""
+
+
+def _CORPUS_FILTER_SQL_REF() -> str:
+    from .hygiene import _CORPUS_FILTER_SQL
+
+    return _CORPUS_FILTER_SQL.strip().rstrip(";")
+
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_split_assign": q_split_assign,
     "t_stratified_sample": q_stratified_sample,
     "t_domain_mix": q_domain_mix,
     "t_pack_sequences": q_pack_sequences,
+    "t_pipeline_e2e": q_pipeline_e2e,
 }
 
 ORACLE_SQL: Dict[str, str] = {
@@ -261,4 +335,5 @@ ORACLE_SQL: Dict[str, str] = {
     "t_stratified_sample": _STRATIFIED_SAMPLE_SQL,
     "t_domain_mix": _DOMAIN_MIX_SQL,
     "t_pack_sequences": _PACK_SQL,
+    "t_pipeline_e2e": _pipeline_e2e_sql(),
 }
