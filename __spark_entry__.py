@@ -226,6 +226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         relational,
         sampling,
         similarity,
+        temporal,
         textstats,
     )
 
@@ -236,6 +237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(sampling.QUERIES)
     out.update(dedup.QUERIES)
     out.update(similarity.QUERIES)
+    out.update(temporal.QUERIES)
 
     def flagship_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ship_package(spark)
@@ -348,6 +350,7 @@ def oracle_sql() -> dict[str, str]:
         relational,
         sampling,
         similarity,
+        temporal,
         textstats,
     )
 
@@ -357,6 +360,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(sampling.ORACLE_SQL)
     out.update(dedup.ORACLE_SQL)
     out.update(similarity.ORACLE_SQL)
+    out.update(temporal.ORACLE_SQL)
     out["flagship_extract"] = _flagship_extract_oracle()
     out["flagship_cells"] = _flagship_cells_oracle()
     out["s1_clean_turns"] = _clean_turns_oracle()

@@ -33,10 +33,11 @@ def test_relational_queries_have_no_python_stage(spark):
         relational,
         sampling,
         similarity,
+        temporal,
         textstats,
     )
 
-    for mod in (relational, textstats, hygiene, sampling, dedup, similarity):
+    for mod in (relational, textstats, hygiene, sampling, dedup, similarity, temporal):
         for name, fn in mod.QUERIES.items():
             if name == "dedup_minhash_prod":
                 continue

@@ -1,0 +1,76 @@
+"""Temporal operators: as-of join semantics + rollup cascade plan shape.
+
+The DuckDB oracle parity for both queries is covered by
+``test_oracle_parity``; these pin the *semantics* independently (pandas
+recomputation of the as-of rule) and the *plan shapes* SCALING.md claims
+(single shuffle for the as-of, scan-once cascade for the rollup).
+"""
+
+import pandas as pd
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_asof_join_matches_pandas_recompute(spark):
+    from tablestructurerec_spark.operators.temporal import q_asof_join
+
+    got = q_asof_join(spark, SF).toPandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    clicks = ev[ev.event_type == "click"]
+    purchases = ev[ev.event_type == "purchase"]
+    assert len(got) == len(purchases)
+
+    by_id = got.set_index("purchase_id")
+    for p in purchases.itertuples(index=False):
+        cand = clicks[(clicks.user_id == p.user_id) & (clicks.ts <= p.ts)]
+        row = by_id.loc[p.event_id]
+        if cand.empty:
+            assert pd.isna(row.click_id)
+        else:
+            best = cand.sort_values(["ts", "event_id"]).iloc[-1]
+            assert row.click_id == best.event_id
+            assert row.gap_us == int((p.ts - best.ts).value // 1000)
+
+
+def test_asof_join_is_single_shuffle_no_join(spark):
+    from tablestructurerec_spark.operators.temporal import q_asof_join
+
+    plan = _plan(q_asof_join(spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan  # union-window form, not a range join
+
+
+def test_rollup_day_equals_sum_of_hours(spark):
+    from tablestructurerec_spark.operators.temporal import q_event_rollup
+
+    df = q_event_rollup(spark, SF).toPandas()
+    hours = df[df.grain == "hour"].copy()
+    days = df[df.grain == "day"]
+    hours["day_bucket"] = hours.bucket // 24
+    re = (
+        hours.groupby(["day_bucket", "event_type"])
+        .agg(n_events=("n_events", "sum"), sum_value=("sum_value", "sum"))
+        .reset_index()
+    )
+    merged = days.merge(
+        re, left_on=["bucket", "event_type"], right_on=["day_bucket", "event_type"]
+    )
+    assert len(merged) == len(days) == len(re)
+    assert (merged.n_events_x == merged.n_events_y).all()
+    # hour-level values are rounded to 4dp before the day re-sum here, so
+    # allow only that re-rounding slack
+    assert (merged.sum_value_x - merged.sum_value_y).abs().max() < 1e-2
+
+
+def test_rollup_scans_raw_events_once(spark):
+    from tablestructurerec_spark.operators.temporal import q_event_rollup
+
+    plan = _plan(q_event_rollup(spark, SF))
+    # exactly 2 scans: the value scan and the 1-column min(ts) anchor scan
+    assert plan.count("FileScan parquet") == 2
+    scans = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+    assert any("[ts#" in ln and "value#" not in ln for ln in scans), "anchor scan must prune to ts"
