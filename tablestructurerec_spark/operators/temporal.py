@@ -5,15 +5,19 @@ covers:
 
 * **As-of join** (``t_asof_join``) — for every ``purchase`` event, the most
   recent ``click`` by the same user at or before it.  Implemented as the
-  scalable *union-window* form, not a join: tag both sides, union, then one
-  window per user carrying the last click forward (``last(..., ignorenulls)``
-  over a running frame).  Exactly ONE shuffle (on ``user_id``) for the whole
-  operator, and the running frame is evaluated incrementally — Spark never
-  buffers a user's full history per output row.  The naive alternative — a
-  ``left.ts >= right.ts`` range join — is O(clicks × purchases) per user and
-  collapses on power users; this form is O(events log events) per user and
-  skew-degrades gracefully (a hot user is one sorted partition, splittable
-  by AQE skew handling only at the join-free sort, never a quadratic blowup).
+  scalable *tagged-window* form, not a join: ONE scan projects a side tag,
+  then one window per user carries the last click forward as a single
+  struct (``last(struct(...), ignorenulls)`` — one struct, not per-column
+  windows, so a NULL click payload field can never desynchronize the
+  carried id/value/ts).  Exactly ONE shuffle (on ``user_id``) and ONE scan
+  for the whole operator; the running frame is evaluated incrementally.
+  The naive alternative — a ``left.ts >= right.ts`` range join — is
+  O(clicks × purchases) per user and collapses on power users; this form is
+  O(events log events) per user: a hot key is one sorted task (sorts spill
+  to disk and degrade linearly — window partitions are NOT splittable by
+  AQE skew handling, so a single pathological key is a straggler, never a
+  quadratic blowup; if one key outgrows a task, pre-split it by time range
+  and stitch the boundary carry in a second tiny pass).
 * **Hierarchical tumbling rollup** (``t_event_rollup``) — hour-grain counts
   and value sums per event type, plus the day grain computed FROM the hourly
   partials rather than from raw events.  That cascade is the 100 TB rollup
@@ -59,40 +63,37 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     (left-outer semantics).
     """
     ev = _t(spark, sf_dir, "events")
-    right = ev.where(F.col("event_type") == _RIGHT_TYPE).select(
+    is_right = F.col("event_type") == _RIGHT_TYPE
+    tagged = ev.where(F.col("event_type").isin(_RIGHT_TYPE, _LEFT_TYPE)).select(
         "user_id",
         "ts",
         F.col("event_id").alias("src_id"),
-        F.col("value").alias("r_value"),
-        F.lit(0).alias("side"),
-    )
-    left = ev.where(F.col("event_type") == _LEFT_TYPE).select(
-        "user_id",
-        "ts",
-        F.col("event_id").alias("src_id"),
-        F.lit(None).cast("double").alias("r_value"),
-        F.lit(1).alias("side"),
+        F.when(is_right, F.lit(0)).otherwise(F.lit(1)).alias("side"),
+        # the whole carried payload as ONE nullable struct: a NULL field
+        # inside a click can never desynchronize id/value/ts
+        F.when(
+            is_right,
+            F.struct(
+                F.col("event_id").alias("id"),
+                F.col("value").alias("v"),
+                F.col("ts").alias("t"),
+            ),
+        ).alias("payload"),
     )
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "side", "src_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    is_right = F.col("side") == 0
-    carried = (
-        right.unionByName(left)
-        .withColumn("click_id", F.last(F.when(is_right, F.col("src_id")), True).over(w))
-        .withColumn("click_value", F.last(F.when(is_right, F.col("r_value")), True).over(w))
-        .withColumn("click_ts", F.last(F.when(is_right, F.col("ts")), True).over(w))
-    )
+    carried = tagged.withColumn("click", F.last("payload", True).over(w))
     return (
         carried.where(F.col("side") == 1)
         .select(
             F.col("src_id").alias("purchase_id"),
             "user_id",
-            "click_id",
-            F.round("click_value", 6).alias("click_value"),
-            F.expr("timestampdiff(MICROSECOND, click_ts, ts)")
+            F.col("click.id").alias("click_id"),
+            F.round(F.col("click.v"), 6).alias("click_value"),
+            F.expr("timestampdiff(MICROSECOND, click.t, ts)")
             .cast("long")
             .alias("gap_us"),
         )
@@ -102,27 +103,25 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ASOF_SQL = f"""
 WITH u AS (
-  SELECT user_id, ts, event_id AS src_id, value AS r_value, 0 AS side
-  FROM events WHERE event_type = '{_RIGHT_TYPE}'
-  UNION ALL
-  SELECT user_id, ts, event_id, NULL, 1
-  FROM events WHERE event_type = '{_LEFT_TYPE}'
+  SELECT user_id, ts, event_id AS src_id,
+         CASE WHEN event_type = '{_RIGHT_TYPE}' THEN 0 ELSE 1 END AS side
+  FROM events
+  WHERE event_type IN ('{_RIGHT_TYPE}', '{_LEFT_TYPE}')
 ), c AS (
   SELECT user_id, ts, src_id, side,
          last_value(CASE WHEN side = 0 THEN src_id END IGNORE NULLS) OVER w
-             AS click_id,
-         last_value(CASE WHEN side = 0 THEN r_value END IGNORE NULLS) OVER w
-             AS click_value,
-         last_value(CASE WHEN side = 0 THEN ts END IGNORE NULLS) OVER w
-             AS click_ts
+             AS click_id
   FROM u
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, side, src_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 )
-SELECT src_id AS purchase_id, user_id, click_id,
-       ROUND(click_value, 6) AS click_value,
-       CAST(date_diff('microsecond', click_ts, ts) AS BIGINT) AS gap_us
-FROM c WHERE side = 1
+-- the carried payload columns come from re-joining the picked click row,
+-- so they are consistent-by-construction (mirrors the Spark struct carry)
+SELECT c.src_id AS purchase_id, c.user_id, c.click_id,
+       ROUND(e.value, 6) AS click_value,
+       CAST(date_diff('microsecond', e.ts, c.ts) AS BIGINT) AS gap_us
+FROM c LEFT JOIN events e ON e.event_id = c.click_id
+WHERE c.side = 1
 ORDER BY purchase_id
 """
 

@@ -36,12 +36,40 @@ def test_asof_join_matches_pandas_recompute(spark):
             assert row.gap_us == int((p.ts - best.ts).value // 1000)
 
 
+def test_asof_join_null_payload_does_not_desync(spark, tmp_path):
+    """A NULL click value must not split the carried columns across two
+    different clicks (regression: per-column ignorenulls windows would take
+    click_id from the newest click but click_value from an older one)."""
+    from tablestructurerec_spark.operators.temporal import q_asof_join
+
+    ev = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3],
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00:05", "2024-01-01 00:00:10", "2024-01-01 00:00:20"]
+            ).astype("datetime64[us]"),  # Spark cannot read nanosecond parquet timestamps
+            "user_id": [7, 7, 7],
+            "event_type": ["click", "click", "purchase"],
+            "value": [3.0, None, 9.9],
+            "props": ["{}", "{}", "{}"],
+        }
+    )
+    ev.to_parquet(tmp_path / "events.parquet")
+    got = q_asof_join(spark, str(tmp_path)).toPandas()
+    assert len(got) == 1
+    row = got.iloc[0]
+    assert row.click_id == 2  # the newest click, even though its value is NULL
+    assert pd.isna(row.click_value)  # NOT 3.0 from the older click
+    assert row.gap_us == 10_000_000
+
+
 def test_asof_join_is_single_shuffle_no_join(spark):
     from tablestructurerec_spark.operators.temporal import q_asof_join
 
     plan = _plan(q_asof_join(spark, SF))
     assert plan.count("Exchange hashpartitioning") == 1
-    assert "Join" not in plan  # union-window form, not a range join
+    assert "Join" not in plan  # tagged-window form, not a range join
+    assert plan.count("FileScan parquet") == 1  # one scan, not per-side scans
 
 
 def test_rollup_day_equals_sum_of_hours(spark):
