@@ -224,6 +224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dedup,
         hygiene,
         relational,
+        retrieval,
         sampling,
         similarity,
         temporal,
@@ -238,6 +239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(dedup.QUERIES)
     out.update(similarity.QUERIES)
     out.update(temporal.QUERIES)
+    out.update(retrieval.QUERIES)
 
     def flagship_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ship_package(spark)
@@ -348,6 +350,7 @@ def oracle_sql() -> dict[str, str]:
         dedup,
         hygiene,
         relational,
+        retrieval,
         sampling,
         similarity,
         temporal,
@@ -361,6 +364,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(dedup.ORACLE_SQL)
     out.update(similarity.ORACLE_SQL)
     out.update(temporal.ORACLE_SQL)
+    out.update(retrieval.ORACLE_SQL)
     out["flagship_extract"] = _flagship_extract_oracle()
     out["flagship_cells"] = _flagship_cells_oracle()
     out["s1_clean_turns"] = _clean_turns_oracle()

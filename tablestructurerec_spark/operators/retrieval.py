@@ -1,0 +1,250 @@
+"""Lexical retrieval + corpus-LM scoring operators over ``documents``.
+
+The retrieval side of a training-data pipeline — the pieces used to mine a
+web-scale corpus for targeted subsets (seed expansion, quality proxies):
+
+* **BM25 top-k** (``t_bm25_topk``) — full distributed BM25 (Okapi, Lucene
+  positive-idf variant) over an inverted term frame built in one explode +
+  partial-agg shuffle, scored against a fixed query set, with a TWO-STAGE
+  salted top-k so no single "query" partition ever has to sort all its
+  candidates: stage 1 keeps the per-(query, salt) top-k (32-way), stage 2
+  reduces 32·k survivors per query.  A common term at 100 TB matches
+  billions of docs — a naive ``row_number() OVER (PARTITION BY query_id)``
+  funnels all of them through one task; the salted form is the same trick as
+  ``a10_salted_agg`` applied to top-k, and is exact because each salt
+  group's global-top-k members are necessarily in its local top-k.
+* **Unigram-LM log-prob** (``t_unigram_logprob``) — CCNet-style quality
+  signal: score every document by the average log10 probability of its
+  tokens under the corpus's own unigram LM, plus the fraction of
+  rare-token mass (frequency < 1/200).  Two partial-agg shuffles (term
+  counts, per-doc sum) and one equi-join on ``term``; the join is NOT
+  broadcast-forced — a 100 TB vocabulary has billions of types, so the plan
+  leaves the strategy to AQE, and hot stopword terms are exactly the skew
+  AQE's skew-join splitting handles.
+
+Float-sum determinism: both operators accumulate per-token contributions.
+A double sum's value depends on reduction order, which Spark does not pin —
+so both scale each per-token contribution to an integer (×1e6 / ×1e4,
+``ROUND`` then ``CAST BIGINT``) and sum integers, which is exact and
+order-independent; the final division/round is then bit-stable against the
+DuckDB oracle regardless of partitioning.
+
+Pure Catalyst throughout (no Python stages); DuckDB oracles over the same
+parquet.  No reference counterpart (graft training-data operators, like
+``dedup``/``sampling``); the inverted-index shape follows the standard
+Spark pattern (explode → partial agg → equi-join).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .textstats import _TOKENS_SQL, tokens_col
+
+__all__ = ["QUERIES", "ORACLE_SQL"]
+
+_K1 = 1.2
+_B = 0.75
+_TOPK = 10
+_SALTS = 32  # stage-1 fan-out for the salted top-k
+# fixed query set: mixes the corpus's one genuinely rare term (``dup``)
+# with common terms so idf actually orders results
+_BM25_QUERIES = [
+    (0, ("dup", "stream", "window")),
+    (1, ("spark", "join", "merge")),
+    (2, ("customer", "table", "scan")),
+    (3, ("vector", "hash", "slow")),
+]
+_SCALE_BM25 = 1_000_000  # 1e-6 score resolution
+_SCALE_LM = 10_000  # 1e-4 per-token log10 resolution
+_RARE_DEN = 200  # token is "rare" when count * 200 < corpus total
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from tablestructurerec_spark.sources.read import read_table
+
+    return read_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# BM25 top-k retrieval
+# ---------------------------------------------------------------------------
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens_col(F.col("text")).alias("toks"))
+    dl = toks.select("doc_id", F.size("toks").alias("dl"))
+    tf = (
+        toks.select("doc_id", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    qterms = spark.createDataFrame(
+        [(qid, t) for qid, terms in _BM25_QUERIES for t in terms],
+        "query_id int, term string",
+    )
+    # prune the term frame to query terms FIRST (broadcast, tiny), so the
+    # df-stats join and dl join only ever see candidate rows
+    cand = tf.join(F.broadcast(qterms), "term")
+    dfreq = cand.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_dl")
+    )
+    scored_terms = (
+        cand.join(dfreq, "term")  # per-term stats: equi-join, AQE decides
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    norm_dl = F.col("dl") * F.col("n_docs") / F.col("total_dl")  # dl / avgdl
+    contrib = (
+        idf
+        * (F.col("tf") * (_K1 + 1.0))
+        / (F.col("tf") + _K1 * (1.0 - _B + _B * norm_dl))
+    )
+    per_doc = (
+        scored_terms.select(
+            "query_id",
+            "doc_id",
+            F.round(contrib * _SCALE_BM25).cast("long").alias("c"),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("c").alias("s"))
+    )
+    order = [F.col("s").desc(), F.col("doc_id").asc()]
+    salt = F.pmod(F.hash("doc_id"), F.lit(_SALTS))
+    stage1 = Window.partitionBy("query_id", salt).orderBy(*order)
+    stage2 = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        per_doc.withColumn("r1", F.row_number().over(stage1))
+        .where(F.col("r1") <= _TOPK)
+        .withColumn("rank", F.row_number().over(stage2))
+        .where(F.col("rank") <= _TOPK)
+        .select(
+            "query_id",
+            "rank",
+            "doc_id",
+            F.round(F.col("s") / _SCALE_BM25, 6).alias("score"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def _bm25_sql() -> str:
+    qvals = ", ".join(
+        f"({qid}, '{t}')" for qid, terms in _BM25_QUERIES for t in terms
+    )
+    return f"""
+WITH toklists AS (
+  SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
+), dl AS (
+  SELECT doc_id, len(toks) AS dl FROM toklists
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM toklists)
+  GROUP BY doc_id, term
+), q(query_id, term) AS (VALUES {qvals}),
+cand AS (
+  SELECT q.query_id, tf.doc_id, tf.term, tf.tf FROM tf JOIN q USING (term)
+), dfreq AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df FROM cand GROUP BY term
+), stats AS (
+  SELECT COUNT(*) AS n_docs, SUM(dl) AS total_dl FROM dl
+), contrib AS (
+  SELECT c.query_id, c.doc_id,
+         CAST(ROUND(
+           ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+           * (c.tf * ({_K1} + 1.0))
+           / (c.tf + {_K1} * (1.0 - {_B} + {_B} * l.dl * s.n_docs / s.total_dl))
+           * {_SCALE_BM25}) AS BIGINT) AS c
+  FROM cand c JOIN dfreq d USING (term) JOIN dl l USING (doc_id)
+  CROSS JOIN stats s
+), scored AS (
+  SELECT query_id, doc_id, SUM(c) AS s FROM contrib GROUP BY query_id, doc_id
+), ranked AS (
+  SELECT query_id, doc_id, s,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY s DESC, doc_id) AS rank
+  FROM scored
+)
+SELECT query_id, CAST(rank AS INT) AS rank, doc_id,
+       ROUND(s / {_SCALE_BM25}.0, 6) AS score
+FROM ranked WHERE rank <= {_TOPK}
+ORDER BY query_id, rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# corpus unigram-LM log-probability (CCNet-style quality proxy)
+# ---------------------------------------------------------------------------
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    vocab = tf.groupBy("term").agg(F.sum("tf").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    # per-token contribution, integer-scaled so the doc-level sum is exact
+    lp = F.round(F.log10(F.col("cnt") / F.col("total")) * _SCALE_LM).cast("long")
+    rare = (F.col("cnt") * _RARE_DEN < F.col("total")).cast("long")
+    per_doc = (
+        tf.join(vocab, "term")  # vocabulary join: equi-join, skew left to AQE
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", "tf", (F.col("tf") * lp).alias("c"), (F.col("tf") * rare).alias("rare_toks"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tok"),
+            F.sum("c").alias("csum"),
+            F.sum("rare_toks").alias("rsum"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("n_tok").cast("int").alias("n_tokens"),
+        F.round(F.col("csum") / (float(_SCALE_LM) * F.col("n_tok")), 6).alias(
+            "avg_logprob"
+        ),
+        F.round(F.col("rsum") / F.col("n_tok").cast("double"), 6).alias("rare_frac"),
+    ).orderBy("doc_id")
+
+
+_UNIGRAM_SQL = f"""
+WITH tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest({_TOKENS_SQL}) AS term FROM documents)
+  GROUP BY doc_id, term
+), vocab AS (
+  SELECT term, SUM(tf) AS cnt FROM tf GROUP BY term
+), stats AS (
+  SELECT SUM(cnt) AS total FROM vocab
+), per_doc AS (
+  SELECT tf.doc_id,
+         SUM(tf.tf) AS n_tok,
+         SUM(tf.tf * CAST(ROUND(log10(v.cnt * 1.0 / s.total) * {_SCALE_LM}) AS BIGINT)) AS csum,
+         SUM(tf.tf * CASE WHEN v.cnt * {_RARE_DEN} < s.total THEN 1 ELSE 0 END) AS rsum
+  FROM tf JOIN vocab v USING (term) CROSS JOIN stats s
+  GROUP BY tf.doc_id
+)
+SELECT doc_id,
+       CAST(n_tok AS INT) AS n_tokens,
+       ROUND(csum / ({_SCALE_LM}.0 * n_tok), 6) AS avg_logprob,
+       ROUND(rsum * 1.0 / n_tok, 6) AS rare_frac
+FROM per_doc
+ORDER BY doc_id
+"""
+
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "t_bm25_topk": q_bm25_topk,
+    "t_unigram_logprob": q_unigram_logprob,
+}
+
+ORACLE_SQL: Dict[str, str] = {
+    "t_bm25_topk": _bm25_sql(),
+    "t_unigram_logprob": _UNIGRAM_SQL,
+}
