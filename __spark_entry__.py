@@ -310,12 +310,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             from tablestructurerec_spark.core.html_parse import parse_table_html
             from tablestructurerec_spark.core.teds import structure_similarity_spans
 
+            # TEDS is a pure function of the (pred structure, gold html)
+            # pair; a web corpus repeats structures constantly (boilerplate
+            # tables), so memoize per task — same trick as a codegen'd
+            # dictionary-encoded evaluation, worst case one miss per row
+            memo: dict = {}
+
+            def score(lp, g) -> float:
+                key = (tuple(map(tuple, lp)), g)
+                hit = memo.get(key)
+                if hit is None:
+                    hit = memo[key] = structure_similarity_spans(
+                        lp, parse_table_html(g)[0]
+                    )
+                return hit
+
             for pdf in batches:
                 yield pd.DataFrame(
                     {
                         "tmpl": pdf["tmpl"],
                         "teds": [
-                            structure_similarity_spans(lp, parse_table_html(g)[0])
+                            score(lp, g)
                             for lp, g in zip(pdf["logic_points"], pdf["gold_html"])
                         ],
                     }

@@ -4,15 +4,19 @@ The retrieval side of a training-data pipeline — the pieces used to mine a
 web-scale corpus for targeted subsets (seed expansion, quality proxies):
 
 * **BM25 top-k** (``t_bm25_topk``) — full distributed BM25 (Okapi, Lucene
-  positive-idf variant) over an inverted term frame built in one explode +
-  partial-agg shuffle, scored against a fixed query set, with a TWO-STAGE
-  salted top-k so no single "query" partition ever has to sort all its
-  candidates: stage 1 keeps the per-(query, salt) top-k (32-way), stage 2
-  reduces 32·k survivors per query.  A common term at 100 TB matches
-  billions of docs — a naive ``row_number() OVER (PARTITION BY query_id)``
-  funnels all of them through one task; the salted form is the same trick as
-  ``a10_salted_agg`` applied to top-k, and is exact because each salt
-  group's global-top-k members are necessarily in its local top-k.
+  positive-idf variant) against a fixed query set.  Tokens are pruned to
+  the query vocabulary BEFORE any explode and tf is counted inside the
+  token array, so the only corpus-wide shuffle carries the hit list (one
+  row per doc × matching distinct term, doc length riding along) — the
+  posting lists a retrieval engine would read, not the raw token stream.
+  Ranking is a TWO-STAGE salted top-k so no single "query" partition ever
+  has to sort all its candidates: stage 1 keeps the per-(query, salt)
+  top-k (32-way), stage 2 reduces 32·k survivors per query.  A common term
+  at 100 TB matches billions of docs — a naive ``row_number() OVER
+  (PARTITION BY query_id)`` funnels all of them through one task; the
+  salted form is the same trick as ``a10_salted_agg`` applied to top-k,
+  and is exact because each salt group's global-top-k members are
+  necessarily in its local top-k.
 * **Unigram-LM log-prob** (``t_unigram_logprob``) — CCNet-style quality
   signal: score every document by the average log10 probability of its
   tokens under the corpus's own unigram LM, plus the fraction of
@@ -74,27 +78,41 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", tokens_col(F.col("text")).alias("toks"))
-    dl = toks.select("doc_id", F.size("toks").alias("dl"))
-    tf = (
-        toks.select("doc_id", F.explode("toks").alias("term"))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
+    vocab = sorted({t for _, terms in _BM25_QUERIES for t in terms})
+    # The posting lists a retrieval engine would read are exactly the query
+    # vocabulary's — so prune tokens to that vocabulary BEFORE any explode,
+    # and count tf WITHIN the token array (map-side).  The only corpus-wide
+    # shuffle then carries one row per (doc, matching distinct term) — the
+    # hit list, not the full 10^12-turn token stream — with dl riding along
+    # so no separate doc-length join exists at all.
+    toks = tokens_col(F.col("text"))
+    qtoks = F.filter(toks, lambda x: x.isin(*vocab))
+    hits = docs.select(
+        "doc_id",
+        F.size(toks).alias("dl"),
+        qtoks.alias("qtoks"),
+        F.explode(F.array_distinct(qtoks)).alias("term"),
+    ).select(
+        "doc_id",
+        "dl",
+        "term",
+        F.size(F.filter(F.col("qtoks"), lambda x: x == F.col("term"))).alias("tf"),
     )
     qterms = spark.createDataFrame(
         [(qid, t) for qid, terms in _BM25_QUERIES for t in terms],
         "query_id int, term string",
     )
-    # prune the term frame to query terms FIRST (broadcast, tiny), so the
-    # df-stats join and dl join only ever see candidate rows
-    cand = tf.join(F.broadcast(qterms), "term")
-    dfreq = cand.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_dl")
+    # (doc_id, term) is unique in hits, so df is a plain count — no
+    # count_distinct expand — and is taken BEFORE query_id attachment so a
+    # term shared by two queries cannot double-count
+    dfreq = hits.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # corpus stats: map-side partial agg, never shuffles row data
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum(F.size(toks)).alias("total_dl")
     )
     scored_terms = (
-        cand.join(dfreq, "term")  # per-term stats: equi-join, AQE decides
-        .join(dl, "doc_id")
+        hits.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(dfreq), "term")  # |query vocab| rows — broadcast
         .crossJoin(F.broadcast(stats))
     )
     idf = F.log(
