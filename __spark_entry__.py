@@ -312,14 +312,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
             # TEDS is a pure function of the (pred structure, gold html)
             # pair; a web corpus repeats structures constantly (boilerplate
-            # tables), so memoize per task — same trick as a codegen'd
-            # dictionary-encoded evaluation, worst case one miss per row
+            # tables), so memoize per task.  Bounded: on a mostly-unique
+            # corpus the memo would otherwise grow O(partition) and defeat
+            # mapInPandas's batch-bounded memory profile — clear on overflow
+            # (repetitive corpora never hit the cap; unique ones pay one
+            # dict op per row and stay flat)
             memo: dict = {}
 
             def score(lp, g) -> float:
                 key = (tuple(map(tuple, lp)), g)
                 hit = memo.get(key)
                 if hit is None:
+                    if len(memo) >= 4096:
+                        memo.clear()
                     hit = memo[key] = structure_similarity_spans(
                         lp, parse_table_html(g)[0]
                     )

@@ -102,11 +102,18 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(qid, t) for qid, terms in _BM25_QUERIES for t in terms],
         "query_id int, term string",
     )
+    # pin the hit list behind ONE term-partitioned exchange: both consumers
+    # (df counting, scoring) hang off the same Exchange node, which Spark's
+    # ReuseExchange dedupes — so the corpus scan + tokenize that builds the
+    # hit list runs exactly once, instead of once per branch
+    hits = hits.repartition("term")
     # (doc_id, term) is unique in hits, so df is a plain count — no
     # count_distinct expand — and is taken BEFORE query_id attachment so a
     # term shared by two queries cannot double-count
     dfreq = hits.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    # corpus stats: map-side partial agg, never shuffles row data
+    # corpus stats (n_docs, total Σdl): one more map-side-only partial agg
+    # scan — these are corpus constants a production pipeline computes once
+    # and passes in, not per query set
     stats = docs.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum(F.size(toks)).alias("total_dl")
     )
