@@ -73,6 +73,27 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_table(spark, sf_dir, name)
 
 
+def salted_topk(df: DataFrame, group: str, order, k: int, salt_col: str, n_salts: int = _SALTS) -> DataFrame:
+    """Exact per-group top-k without funneling any group through one task.
+
+    Stage 1 ranks within (group, hash-salt) — ``n_salts``-way parallel —
+    and keeps k; stage 2 ranks the ≤ n_salts·k survivors per group.  Exact
+    for any total order: a group's global top-k rows are each in their own
+    salt slice's top-k, so stage 1 never drops one.  Adds a ``rank`` column
+    (1-based) and drops rows beyond k.
+    """
+    salt = F.pmod(F.hash(salt_col), F.lit(n_salts))
+    stage1 = Window.partitionBy(group, salt).orderBy(*order)
+    stage2 = Window.partitionBy(group).orderBy(*order)
+    return (
+        df.withColumn("_r1", F.row_number().over(stage1))
+        .where(F.col("_r1") <= k)
+        .withColumn("rank", F.row_number().over(stage2))
+        .where(F.col("rank") <= k)
+        .drop("_r1")
+    )
+
+
 # ---------------------------------------------------------------------------
 # BM25 top-k retrieval
 # ---------------------------------------------------------------------------
@@ -141,14 +162,8 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("c").alias("s"))
     )
     order = [F.col("s").desc(), F.col("doc_id").asc()]
-    salt = F.pmod(F.hash("doc_id"), F.lit(_SALTS))
-    stage1 = Window.partitionBy("query_id", salt).orderBy(*order)
-    stage2 = Window.partitionBy("query_id").orderBy(*order)
     return (
-        per_doc.withColumn("r1", F.row_number().over(stage1))
-        .where(F.col("r1") <= _TOPK)
-        .withColumn("rank", F.row_number().over(stage2))
-        .where(F.col("rank") <= _TOPK)
+        salted_topk(per_doc, "query_id", order, _TOPK, salt_col="doc_id")
         .select(
             "query_id",
             "rank",
