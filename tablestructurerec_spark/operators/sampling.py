@@ -322,12 +322,62 @@ def _CORPUS_FILTER_SQL_REF() -> str:
     return _CORPUS_FILTER_SQL.strip().rstrip(";")
 
 
+# ---------------------------------------------------------------------------
+# exact k-per-group sampling — "give me exactly 20 eval examples per language"
+# ---------------------------------------------------------------------------
+_GROUP_K = 20
+_GROUP_SALT = "grpsamp-v1"
+
+
+def q_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly ``k`` documents per language, chosen by a salted content
+    hash: deterministic (re-runs and retries pick the same docs), uniform
+    within the group, and content-stable under corpus growth in the same
+    sense as ``t_split_assign`` — a doc's draw never changes, so the
+    selected set only changes where new docs out-rank old ones.
+
+    Rate-based sampling (``t_stratified_sample``) cannot hit an exact
+    count; per-group ORDER BY hash LIMIT k funnels each group through one
+    task.  This is :func:`retrieval.salted_topk` applied to sampling:
+    32-way parallel rank within (group, salt slice), then a final rank over
+    ≤ 32·k survivors — exact, and no corpus-sized sort anywhere.
+    """
+    from .retrieval import salted_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    u = _hash_uniform(_GROUP_SALT, F.col("doc_id"))
+    base = docs.select("doc_id", "lang", "source", u.alias("u"))
+    order = [F.col("u").asc(), F.col("doc_id").asc()]
+    return (
+        salted_topk(base, "lang", order, _GROUP_K, salt_col="doc_id")
+        .select("lang", "rank", "doc_id", "source", F.round("u", 6).alias("sample_u"))
+        .orderBy("lang", "rank")
+    )
+
+
+_GROUP_SAMPLE_SQL = f"""
+WITH b AS (
+  SELECT doc_id, lang, source,
+         {_hash_uniform_sql(_GROUP_SALT, 'doc_id')} AS u
+  FROM documents
+), ranked AS (
+  SELECT lang, doc_id, source, u,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY u, doc_id) AS rank
+  FROM b
+)
+SELECT lang, CAST(rank AS INT) AS rank, doc_id, source, ROUND(u, 6) AS sample_u
+FROM ranked WHERE rank <= {_GROUP_K}
+ORDER BY lang, rank
+"""
+
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_split_assign": q_split_assign,
     "t_stratified_sample": q_stratified_sample,
     "t_domain_mix": q_domain_mix,
     "t_pack_sequences": q_pack_sequences,
     "t_pipeline_e2e": q_pipeline_e2e,
+    "t_group_sample": q_group_sample,
 }
 
 ORACLE_SQL: Dict[str, str] = {
@@ -336,4 +386,5 @@ ORACLE_SQL: Dict[str, str] = {
     "t_domain_mix": _DOMAIN_MIX_SQL,
     "t_pack_sequences": _PACK_SQL,
     "t_pipeline_e2e": _pipeline_e2e_sql(),
+    "t_group_sample": _GROUP_SAMPLE_SQL,
 }
