@@ -30,7 +30,7 @@ from __future__ import annotations
 
 from typing import Callable, Dict
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .textstats import _TOKENS_SQL, tokens_col, tokens_sql
@@ -572,12 +572,139 @@ LIMIT {_BP_TOPN}
 """
 
 
+# ---------------------------------------------------------------------------
+# corpus-level repeated-substring spans (Lee et al., "Deduplicating Training
+# Data Makes Language Models Better"): find CHARACTER RANGES that recur
+# anywhere in the corpus — substring-level, unlike the document-level
+# MinHash/SimHash family — and report per-doc merged duplicate coverage.
+# ---------------------------------------------------------------------------
+_SPAN_W, _SPAN_S = 32, 8  # window length / stride (chars)
+
+
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per document: merged spans of text whose ``_SPAN_W``-char windows
+    occur more than once corpus-wide, plus the duplicated-char fraction.
+
+    Distributed shape (all integers — hash-exact under any partitioning):
+
+    1. one scan explodes each doc into stride-``_SPAN_S`` windows
+       ``(doc_id, start, md5(window))`` — O(len/stride) rows;
+    2. repeats are detected with a single ``count() OVER (PARTITION BY
+       hash)`` — ONE hash-partitioned exchange, no self-join, no second
+       scan of the corpus (the suffix-array step of the reference paper,
+       re-expressed as the one-shuffle Spark equivalent);
+    3. surviving windows merge per doc into maximal spans with the
+       gaps-and-islands pattern (island opens where ``start`` exceeds the
+       running max of previous ends) — a doc-partitioned window, the only
+       other shuffle;
+    4. a left join back to ``documents`` keeps zero-duplication docs in
+       the output (corpus-stats complete).
+
+    At 100 TB the window frame is ~len/stride rows per doc; both exchanges
+    partition on high-cardinality keys (hash, doc_id) — no skew pivot.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    n_win = F.floor((F.length("text") - _SPAN_W) / _SPAN_S).cast("int")
+    wins = (
+        docs.where(F.length("text") >= _SPAN_W)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), n_win),
+                    lambda i: F.struct(
+                        (i * _SPAN_S).cast("int").alias("start"),
+                        F.md5(
+                            F.col("text").substr(i * _SPAN_S + 1, F.lit(_SPAN_W))
+                        ).alias("h"),
+                    ),
+                )
+            ).alias("w"),
+        )
+        .select("doc_id", F.col("w.start").alias("start"), F.col("w.h").alias("h"))
+    )
+    cnt = F.count(F.lit(1)).over(Window.partitionBy("h"))
+    dup = wins.withColumn("cnt", cnt).where(F.col("cnt") > 1).select(
+        "doc_id", "start", (F.col("start") + _SPAN_W).alias("end")
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy("start", "end")
+    prev_max_end = F.max("end").over(w_doc.rowsBetween(Window.unboundedPreceding, -1))
+    islands = (
+        dup.withColumn(
+            "new_island",
+            F.when(prev_max_end.isNull() | (F.col("start") > prev_max_end), 1).otherwise(0),
+        )
+        .withColumn("island", F.sum("new_island").over(w_doc))
+        .groupBy("doc_id", "island")
+        .agg(F.min("start").alias("s0"), F.max("end").alias("e1"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_dup_spans"),
+            F.sum(F.col("e1") - F.col("s0")).cast("long").alias("dup_chars"),
+        )
+    )
+    return (
+        docs.join(islands, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+            F.coalesce("dup_chars", F.lit(0)).alias("dup_chars"),
+            F.round(
+                F.coalesce("dup_chars", F.lit(0)) / F.length("text"), 6
+            ).alias("dup_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_DUP_SPANS_SQL = f"""
+WITH wins AS (
+  SELECT doc_id, i * {_SPAN_S} AS start,
+         md5(substr(text, i * {_SPAN_S} + 1, {_SPAN_W})) AS h
+  FROM documents, unnest(range(0,
+    CAST(floor((length(text) - {_SPAN_W}) * 1.0 / {_SPAN_S}) AS INT) + 1)) AS t(i)
+  WHERE length(text) >= {_SPAN_W}
+), dup AS (
+  SELECT doc_id, start, start + {_SPAN_W} AS "end"
+  FROM (SELECT doc_id, start, COUNT(*) OVER (PARTITION BY h) AS cnt FROM wins)
+  WHERE cnt > 1
+), flagged AS (
+  SELECT doc_id, start, "end",
+         CASE WHEN MAX("end") OVER (PARTITION BY doc_id ORDER BY start, "end"
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+               OR start > MAX("end") OVER (PARTITION BY doc_id ORDER BY start, "end"
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_island
+  FROM dup
+), islands AS (
+  SELECT doc_id,
+         SUM(new_island) OVER (PARTITION BY doc_id ORDER BY start, "end") AS island,
+         start, "end"
+  FROM flagged
+), agg AS (
+  SELECT doc_id, CAST(COUNT(DISTINCT island) AS INT) AS n_dup_spans,
+         CAST(SUM(e1 - s0) AS BIGINT) AS dup_chars
+  FROM (
+    SELECT doc_id, island, MIN(start) AS s0, MAX("end") AS e1
+    FROM islands GROUP BY doc_id, island
+  ) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(a.n_dup_spans, 0) AS n_dup_spans,
+       COALESCE(a.dup_chars, 0) AS dup_chars,
+       ROUND(COALESCE(a.dup_chars, 0) * 1.0 / length(d.text), 6) AS dup_frac
+FROM documents d LEFT JOIN agg a USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_pii_scrub": q_pii_scrub,
     "t_repetition": q_repetition,
     "t_corpus_filter": q_corpus_filter,
     "t_boilerplate_ngrams": q_boilerplate_ngrams,
     "dedup_decontaminate": q_decontaminate,
+    "t_dup_spans": q_dup_spans,
 }
 
 ORACLE_SQL: Dict[str, str] = {
@@ -586,4 +713,5 @@ ORACLE_SQL: Dict[str, str] = {
     "t_corpus_filter": _CORPUS_FILTER_SQL,
     "t_boilerplate_ngrams": _BOILERPLATE_SQL,
     "dedup_decontaminate": _DECONTAMINATE_SQL,
+    "t_dup_spans": _DUP_SPANS_SQL,
 }
