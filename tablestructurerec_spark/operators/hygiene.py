@@ -581,29 +581,10 @@ LIMIT {_BP_TOPN}
 _SPAN_W, _SPAN_S = 32, 8  # window length / stride (chars)
 
 
-def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per document: merged spans of text whose ``_SPAN_W``-char windows
-    occur more than once corpus-wide, plus the duplicated-char fraction.
-
-    Distributed shape (all integers — hash-exact under any partitioning):
-
-    1. one scan explodes each doc into stride-``_SPAN_S`` windows
-       ``(doc_id, start, md5(window))`` — O(len/stride) rows;
-    2. repeats are detected with a single ``count() OVER (PARTITION BY
-       hash)`` — ONE hash-partitioned exchange, no self-join, no second
-       scan of the corpus (the suffix-array step of the reference paper,
-       re-expressed as the one-shuffle Spark equivalent);
-    3. surviving windows merge per doc into maximal spans with the
-       gaps-and-islands pattern (island opens where ``start`` exceeds the
-       running max of previous ends) — a doc-partitioned window, the only
-       other shuffle;
-    4. a left join back to ``documents`` keeps zero-duplication docs in
-       the output (corpus-stats complete).
-
-    At 100 TB the window frame is ~len/stride rows per doc; both exchanges
-    partition on high-cardinality keys (hash, doc_id) — no skew pivot.
-    """
-    docs = _t(spark, sf_dir, "documents")
+def _dup_islands(docs: DataFrame) -> DataFrame:
+    """``(doc_id, island, s0, e1)`` — maximal merged char spans whose
+    ``_SPAN_W``-char windows recur corpus-wide (shared by ``q_dup_spans``
+    and ``q_strip_repeated``; see ``q_dup_spans`` for the plan shape)."""
     n_win = F.floor((F.length("text") - _SPAN_W) / _SPAN_S).cast("int")
     wins = (
         docs.where(F.length("text") >= _SPAN_W)
@@ -629,7 +610,7 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w_doc = Window.partitionBy("doc_id").orderBy("start", "end")
     prev_max_end = F.max("end").over(w_doc.rowsBetween(Window.unboundedPreceding, -1))
-    islands = (
+    return (
         dup.withColumn(
             "new_island",
             F.when(prev_max_end.isNull() | (F.col("start") > prev_max_end), 1).otherwise(0),
@@ -637,6 +618,34 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("island", F.sum("new_island").over(w_doc))
         .groupBy("doc_id", "island")
         .agg(F.min("start").alias("s0"), F.max("end").alias("e1"))
+    )
+
+
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per document: merged spans of text whose ``_SPAN_W``-char windows
+    occur more than once corpus-wide, plus the duplicated-char fraction.
+
+    Distributed shape (all integers — hash-exact under any partitioning):
+
+    1. one scan explodes each doc into stride-``_SPAN_S`` windows
+       ``(doc_id, start, md5(window))`` — O(len/stride) rows;
+    2. repeats are detected with a single ``count() OVER (PARTITION BY
+       hash)`` — ONE hash-partitioned exchange, no self-join, no second
+       scan of the corpus (the suffix-array step of the reference paper,
+       re-expressed as the one-shuffle Spark equivalent);
+    3. surviving windows merge per doc into maximal spans with the
+       gaps-and-islands pattern (island opens where ``start`` exceeds the
+       running max of previous ends) — a doc-partitioned window, the only
+       other shuffle;
+    4. a left join back to ``documents`` keeps zero-duplication docs in
+       the output (corpus-stats complete).
+
+    At 100 TB the window frame is ~len/stride rows per doc; both exchanges
+    partition on high-cardinality keys (hash, doc_id) — no skew pivot.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    per_doc = (
+        _dup_islands(docs)
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("int").alias("n_dup_spans"),
@@ -644,7 +653,7 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        docs.join(islands, "doc_id", "left")
+        docs.join(per_doc, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
@@ -657,8 +666,9 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DUP_SPANS_SQL = f"""
-WITH wins AS (
+# shared CTE chain ending in merged(doc_id, island, s0, e1) — the SQL twin
+# of _dup_islands
+_ISLANDS_CTES = f"""wins AS (
   SELECT doc_id, i * {_SPAN_S} AS start,
          md5(substr(text, i * {_SPAN_S} + 1, {_SPAN_W})) AS h
   FROM documents, unnest(range(0,
@@ -681,19 +691,96 @@ WITH wins AS (
          SUM(new_island) OVER (PARTITION BY doc_id ORDER BY start, "end") AS island,
          start, "end"
   FROM flagged
-), agg AS (
-  SELECT doc_id, CAST(COUNT(DISTINCT island) AS INT) AS n_dup_spans,
+), merged AS (
+  SELECT doc_id, island, MIN(start) AS s0, MAX("end") AS e1
+  FROM islands GROUP BY doc_id, island
+)"""
+
+_DUP_SPANS_SQL = f"""
+WITH {_ISLANDS_CTES}, agg AS (
+  SELECT doc_id, CAST(COUNT(*) AS INT) AS n_dup_spans,
          CAST(SUM(e1 - s0) AS BIGINT) AS dup_chars
-  FROM (
-    SELECT doc_id, island, MIN(start) AS s0, MAX("end") AS e1
-    FROM islands GROUP BY doc_id, island
-  ) GROUP BY doc_id
+  FROM merged GROUP BY doc_id
 )
 SELECT d.doc_id,
        COALESCE(a.n_dup_spans, 0) AS n_dup_spans,
        COALESCE(a.dup_chars, 0) AS dup_chars,
        ROUND(COALESCE(a.dup_chars, 0) * 1.0 / length(d.text), 6) AS dup_frac
 FROM documents d LEFT JOIN agg a USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+def q_strip_repeated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The transform ``t_dup_spans`` is the report for: rebuild each
+    document's text with every corpus-repeated span cut out (boilerplate
+    removal — headers, disclaimers, templated blocks recur across docs and
+    their windows trip the corpus-wide repeat count).
+
+    The reassembly is row-based and all-integer: each island contributes
+    the KEEP segment that precedes it (``lag(e1) … s0``), one tail row per
+    doc covers ``max(e1) … len``, and the segments concatenate in ``ks``
+    order via a sorted-struct array — no fold UDF, identical semantics in
+    the DuckDB oracle's ``string_agg(… ORDER BY ks)``.  Docs with no
+    repeated spans pass through unchanged via the left join.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    isl = _dup_islands(docs)
+    w = Window.partitionBy("doc_id").orderBy("s0")
+    gaps = isl.select(
+        "doc_id",
+        F.coalesce(F.lag("e1").over(w), F.lit(0)).alias("ks"),
+        F.col("s0").cast("int").alias("ke"),
+    )
+    tails = isl.groupBy("doc_id").agg(F.max("e1").alias("ks")).select(
+        "doc_id", F.col("ks").cast("int").alias("ks"), F.lit(None).cast("int").alias("ke")
+    )
+    segs = gaps.select("doc_id", F.col("ks").cast("int").alias("ks"), "ke").unionByName(tails)
+    joined = segs.join(docs.select("doc_id", "text"), "doc_id")
+    seg = F.col("text").substr(
+        F.col("ks") + 1, F.coalesce(F.col("ke"), F.length("text")) - F.col("ks")
+    )
+    cleaned = joined.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("ks"), seg.alias("seg")))),
+                lambda x: x["seg"],
+            ),
+            "",
+        ).alias("clean_text")
+    )
+    return (
+        docs.join(cleaned, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.col("text")).alias("clean_text"),
+            (F.length("text") - F.length(F.coalesce("clean_text", F.col("text"))))
+            .cast("int")
+            .alias("removed_chars"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_STRIP_REPEATED_SQL = f"""
+WITH {_ISLANDS_CTES}, segs AS (
+  SELECT doc_id,
+         COALESCE(LAG(e1) OVER (PARTITION BY doc_id ORDER BY s0), 0) AS ks,
+         s0 AS ke
+  FROM merged
+  UNION ALL
+  SELECT doc_id, MAX(e1) AS ks, NULL AS ke FROM merged GROUP BY doc_id
+), cleaned AS (
+  SELECT s.doc_id,
+         string_agg(substr(d.text, s.ks + 1,
+                           COALESCE(s.ke, length(d.text)) - s.ks),
+                    '' ORDER BY s.ks) AS clean_text
+  FROM segs s JOIN documents d USING (doc_id) GROUP BY s.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(c.clean_text, d.text) AS clean_text,
+       CAST(length(d.text) - length(COALESCE(c.clean_text, d.text)) AS INT) AS removed_chars
+FROM documents d LEFT JOIN cleaned c USING (doc_id)
 ORDER BY d.doc_id
 """
 
@@ -705,6 +792,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_boilerplate_ngrams": q_boilerplate_ngrams,
     "dedup_decontaminate": q_decontaminate,
     "t_dup_spans": q_dup_spans,
+    "t_strip_repeated": q_strip_repeated,
 }
 
 ORACLE_SQL: Dict[str, str] = {
@@ -714,4 +802,5 @@ ORACLE_SQL: Dict[str, str] = {
     "t_boilerplate_ngrams": _BOILERPLATE_SQL,
     "dedup_decontaminate": _DECONTAMINATE_SQL,
     "t_dup_spans": _DUP_SPANS_SQL,
+    "t_strip_repeated": _STRIP_REPEATED_SQL,
 }

@@ -37,3 +37,59 @@ def test_run_length_kernels_match_counter_truth(spark):
     for i, arr in rows:
         assert got[i][0] == _truth_occurrence_max(arr), (i, arr)
         assert got[i][1] == _truth_dup_chars(arr), (i, arr)
+
+
+# ---------------------------------------------------------------------------
+# corpus repeated-substring islands: planted duplicates vs python recompute
+# ---------------------------------------------------------------------------
+def _truth_islands(texts, w=32, s=8):
+    """From-scratch reference: window hashes -> global repeat count ->
+    per-doc merged [s0, e1) islands."""
+    from collections import Counter
+
+    wins = {}
+    counts = Counter()
+    for doc_id, t in texts:
+        ws = []
+        if len(t) >= w:
+            for k in range((len(t) - w) // s + 1):
+                sub = t[k * s : k * s + w]
+                ws.append((k * s, sub))
+                counts[sub] += 1
+        wins[doc_id] = ws
+    islands = {}
+    for doc_id, ws in wins.items():
+        spans = sorted((st, st + w) for st, sub in ws if counts[sub] > 1)
+        merged = []
+        for st, en in spans:
+            if merged and st <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], en)
+            else:
+                merged.append([st, en])
+        if merged:
+            islands[doc_id] = [tuple(m) for m in merged]
+    return islands
+
+
+def test_dup_islands_match_planted_duplicates(spark):
+    from tablestructurerec_spark.operators.hygiene import _dup_islands
+
+    rng = random.Random(42)
+    alpha = "abcdefghijklmnopqrstuvwxyz0123456789 "
+    block = "".join(rng.choice(alpha) for _ in range(64))  # planted boilerplate
+    texts = []
+    for i in range(60):
+        body = "".join(rng.choice(alpha) for _ in range(rng.randrange(10, 300)))
+        if i % 3 == 0:  # plant the shared block at a random offset
+            pos = rng.randrange(0, max(1, len(body)))
+            body = body[:pos] + block + body[pos:]
+        if i == 7:  # intra-doc repetition: same 40 chars twice
+            rep = body[:40]
+            body = rep + body + rep
+        texts.append((i, body))
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {}
+    for r in _dup_islands(df).collect():
+        got.setdefault(r.doc_id, []).append((r.s0, r.e1))
+    got = {k: sorted(v) for k, v in got.items()}
+    assert got == _truth_islands(texts)
