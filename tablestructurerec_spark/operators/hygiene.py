@@ -578,7 +578,7 @@ LIMIT {_BP_TOPN}
 # anywhere in the corpus — substring-level, unlike the document-level
 # MinHash/SimHash family — and report per-doc merged duplicate coverage.
 # ---------------------------------------------------------------------------
-_SPAN_W, _SPAN_S = 32, 8  # window length / stride (chars)
+_SPAN_W = 32  # window length (chars); windows anchor at space boundaries
 
 
 def _dup_islands(docs: DataFrame) -> DataFrame:
@@ -586,25 +586,42 @@ def _dup_islands(docs: DataFrame) -> DataFrame:
     ``_SPAN_W``-char windows recur corpus-wide (shared by ``q_dup_spans``
     and ``q_strip_repeated``; see ``q_dup_spans`` for the plan shape).
 
+    Window starts are CONTENT-DEFINED, not position-strided: a window
+    opens at every space character (plus offset 0), so two occurrences of
+    the same block anchor windows at the same characters regardless of
+    where the block sits in each document — a position stride would only
+    detect occurrence pairs whose offsets agree mod the stride.  (A ≥39-
+    char repeated block with no space in it is the one shape this anchor
+    misses; word-bearing boilerplate always anchors.)
+
     The window hash is internal — only its repeat COUNT matters, never its
     value — so the engine is free to pick the cheapest collision-resistant
-    hash: xxhash64 here (JVM-native, and the downstream hash-partitioned
-    count sorts 8-byte longs instead of 32-char strings; measured ~2x on
-    the whole query) while the DuckDB oracle keeps md5.  A 64-bit collision
-    (~1e-5 odds corpus-wide at 31M windows) would only flag one extra
-    window as repeated."""
-    n_win = F.floor((F.length("text") - _SPAN_W) / _SPAN_S).cast("int")
+    hash: xxhash64 here (JVM-native, 8-byte shuffle keys) while the DuckDB
+    oracle keeps md5.  A 64-bit collision (~1e-5 odds corpus-wide at ~30M
+    windows) would only flag one extra window as repeated.
+
+    Repeats are counted with groupBy(h) + left-semi join back, NOT a
+    ``count() OVER (PARTITION BY h)``: the query exists to find heavily
+    repeated content, so the hot window hash (a ubiquitous header) is the
+    expected case — partial map-side aggregation combines it per mapper,
+    and the join back is an equi-join AQE can skew-split, where a window
+    function would funnel every occurrence of the hot hash through one
+    sort task with no partial-agg and no skew split."""
+    anchors = F.filter(
+        F.sequence(F.lit(0), F.length("text") - _SPAN_W),
+        lambda i: (i == 0) | (F.col("text").substr(i + 1, F.lit(1)) == " "),
+    )
     wins = (
         docs.where(F.length("text") >= _SPAN_W)
         .select(
             "doc_id",
             F.explode(
                 F.transform(
-                    F.sequence(F.lit(0), n_win),
+                    anchors,
                     lambda i: F.struct(
-                        (i * _SPAN_S).cast("int").alias("start"),
+                        i.cast("int").alias("start"),
                         F.xxhash64(
-                            F.col("text").substr(i * _SPAN_S + 1, F.lit(_SPAN_W))
+                            F.col("text").substr(i + 1, F.lit(_SPAN_W))
                         ).alias("h"),
                     ),
                 )
@@ -612,8 +629,10 @@ def _dup_islands(docs: DataFrame) -> DataFrame:
         )
         .select("doc_id", F.col("w.start").alias("start"), F.col("w.h").alias("h"))
     )
-    cnt = F.count(F.lit(1)).over(Window.partitionBy("h"))
-    dup = wins.withColumn("cnt", cnt).where(F.col("cnt") > 1).select(
+    dup_h = wins.groupBy("h").agg(F.count(F.lit(1)).alias("cnt")).where(
+        F.col("cnt") > 1
+    )
+    dup = wins.join(dup_h.select("h"), "h", "left_semi").select(
         "doc_id", "start", (F.col("start") + _SPAN_W).alias("end")
     )
     w_doc = Window.partitionBy("doc_id").orderBy("start", "end")
@@ -635,21 +654,20 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Distributed shape (all integers — hash-exact under any partitioning):
 
-    1. one scan explodes each doc into stride-``_SPAN_S`` windows
-       ``(doc_id, start, md5(window))`` — O(len/stride) rows;
-    2. repeats are detected with a single ``count() OVER (PARTITION BY
-       hash)`` — ONE hash-partitioned exchange, no self-join, no second
-       scan of the corpus (the suffix-array step of the reference paper,
-       re-expressed as the one-shuffle Spark equivalent);
+    1. one scan explodes each doc into space-anchored ``_SPAN_W``-char
+       windows ``(doc_id, start, xxhash64(window))`` — ~one row per word
+       (see ``_dup_islands`` for why anchoring is content-defined and why
+       the hash choice is engine-local);
+    2. repeats are detected with a partial-agg ``groupBy(hash)`` count +
+       left-semi join back — hot hashes combine map-side and the join is
+       AQE-skew-splittable (the suffix-array step of the reference paper,
+       re-expressed in the shapes Spark scales);
     3. surviving windows merge per doc into maximal spans with the
        gaps-and-islands pattern (island opens where ``start`` exceeds the
-       running max of previous ends) — a doc-partitioned window, the only
-       other shuffle;
+       running max of previous ends) — a doc-partitioned window (doc_id
+       is high-cardinality; no skew pivot);
     4. a left join back to ``documents`` keeps zero-duplication docs in
        the output (corpus-stats complete).
-
-    At 100 TB the window frame is ~len/stride rows per doc; both exchanges
-    partition on high-cardinality keys (hash, doc_id) — no skew pivot.
     """
     docs = _t(spark, sf_dir, "documents")
     per_doc = (
@@ -677,15 +695,15 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # shared CTE chain ending in merged(doc_id, island, s0, e1) — the SQL twin
 # of _dup_islands
 _ISLANDS_CTES = f"""wins AS (
-  SELECT doc_id, i * {_SPAN_S} AS start,
-         md5(substr(text, i * {_SPAN_S} + 1, {_SPAN_W})) AS h
-  FROM documents, unnest(range(0,
-    CAST(floor((length(text) - {_SPAN_W}) * 1.0 / {_SPAN_S}) AS INT) + 1)) AS t(i)
+  SELECT doc_id, CAST(i AS INT) AS start,
+         md5(substr(text, CAST(i AS INT) + 1, {_SPAN_W})) AS h
+  FROM documents, unnest(list_filter(range(0, length(text) - {_SPAN_W} + 1),
+    i -> i = 0 OR substr(text, CAST(i AS INT) + 1, 1) = ' ')) AS t(i)
   WHERE length(text) >= {_SPAN_W}
 ), dup AS (
   SELECT doc_id, start, start + {_SPAN_W} AS "end"
-  FROM (SELECT doc_id, start, COUNT(*) OVER (PARTITION BY h) AS cnt FROM wins)
-  WHERE cnt > 1
+  FROM wins
+  WHERE h IN (SELECT h FROM wins GROUP BY h HAVING COUNT(*) > 1)
 ), flagged AS (
   SELECT doc_id, start, "end",
          CASE WHEN MAX("end") OVER (PARTITION BY doc_id ORDER BY start, "end"

@@ -82,6 +82,11 @@ def salted_topk(df: DataFrame, group: str, order, k: int, salt_col: str, n_salts
     salt slice's top-k, so stage 1 never drops one.  Adds a ``rank`` column
     (1-based) and drops rows beyond k.
     """
+    for reserved in ("_r1", "rank"):
+        if reserved in df.columns:
+            raise ValueError(
+                f"salted_topk writes column {reserved!r}; rename it on the input"
+            )
     salt = F.pmod(F.hash(salt_col), F.lit(n_salts))
     stage1 = Window.partitionBy(group, salt).orderBy(*order)
     stage2 = Window.partitionBy(group).orderBy(*order)

@@ -42,9 +42,9 @@ def test_run_length_kernels_match_counter_truth(spark):
 # ---------------------------------------------------------------------------
 # corpus repeated-substring islands: planted duplicates vs python recompute
 # ---------------------------------------------------------------------------
-def _truth_islands(texts, w=32, s=8):
-    """From-scratch reference: window hashes -> global repeat count ->
-    per-doc merged [s0, e1) islands."""
+def _truth_islands(texts, w=32):
+    """From-scratch reference: space-anchored windows -> global repeat
+    count -> per-doc merged [s0, e1) islands."""
     from collections import Counter
 
     wins = {}
@@ -52,10 +52,11 @@ def _truth_islands(texts, w=32, s=8):
     for doc_id, t in texts:
         ws = []
         if len(t) >= w:
-            for k in range((len(t) - w) // s + 1):
-                sub = t[k * s : k * s + w]
-                ws.append((k * s, sub))
-                counts[sub] += 1
+            for k in range(len(t) - w + 1):
+                if k == 0 or t[k] == " ":
+                    sub = t[k : k + w]
+                    ws.append((k, sub))
+                    counts[sub] += 1
         wins[doc_id] = ws
     islands = {}
     for doc_id, ws in wins.items():
@@ -75,14 +76,24 @@ def test_dup_islands_match_planted_duplicates(spark):
     from tablestructurerec_spark.operators.hygiene import _dup_islands
 
     rng = random.Random(42)
-    alpha = "abcdefghijklmnopqrstuvwxyz0123456789 "
-    block = "".join(rng.choice(alpha) for _ in range(64))  # planted boilerplate
+    alpha = "abcdefghijklmnopqrstuvwxyz0123456789"
+
+    def words(n_chars):
+        # word-like text (space every ~5 chars) — the operator's documented
+        # domain; the content anchor needs a space inside the first
+        # _SPAN_W+1 chars of a repeated block to guarantee detection
+        out = []
+        while sum(len(w) + 1 for w in out) < n_chars:
+            out.append("".join(rng.choice(alpha) for _ in range(rng.randrange(2, 9))))
+        return " ".join(out)
+
+    block = words(64)  # planted boilerplate
     texts = []
     for i in range(60):
-        body = "".join(rng.choice(alpha) for _ in range(rng.randrange(10, 300)))
+        body = words(rng.randrange(10, 300))
         if i % 3 == 0:  # plant the shared block at a random offset
             pos = rng.randrange(0, max(1, len(body)))
-            body = body[:pos] + block + body[pos:]
+            body = body[:pos] + " " + block + " " + body[pos:]
         if i == 7:  # intra-doc repetition: same 40 chars twice
             rep = body[:40]
             body = rep + body + rep
@@ -93,3 +104,14 @@ def test_dup_islands_match_planted_duplicates(spark):
         got.setdefault(r.doc_id, []).append((r.s0, r.e1))
     got = {k: sorted(v) for k, v in got.items()}
     assert got == _truth_islands(texts)
+    # semantic recall check (independent of the shared algorithm): every
+    # doc carrying the planted block at an ARBITRARY offset must have an
+    # island overlapping its copy — this is what the content-defined
+    # anchoring buys (a position stride only catches offsets agreeing mod
+    # the stride)
+    for i, body in texts:
+        if i % 3 == 0:
+            pos = body.index(block)
+            assert any(
+                s0 < pos + len(block) and e1 > pos for s0, e1 in got.get(i, [])
+            ), (i, pos)

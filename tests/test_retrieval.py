@@ -81,7 +81,9 @@ def test_bm25_scores_match_local_recompute(spark):
                 idf = math.log((n_docs - dfreq[t] + 0.5) / (dfreq[t] + 0.5) + 1.0)
                 dl_norm = len(ws) * n_docs / total_dl
                 contrib = idf * (f * (_K1 + 1.0)) / (f + _K1 * (1.0 - _B + _B * dl_norm))
-                s += round(contrib * _SCALE_BM25)
+                # F.round / DuckDB ROUND are half-up; python round() is
+                # half-to-even — mirror the plan's rounding exactly
+                s += math.floor(contrib * _SCALE_BM25 + 0.5)
             if s:
                 scores[(qid, d)] = round(s / _SCALE_BM25, 6)
     got = q_bm25_topk(spark, SF_DIR).collect()
