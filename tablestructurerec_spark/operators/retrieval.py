@@ -135,8 +135,22 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     hits = hits.repartition("term")
     # (doc_id, term) is unique in hits, so df is a plain count — no
     # count_distinct expand — and is taken BEFORE query_id attachment so a
-    # term shared by two queries cannot double-count
-    dfreq = hits.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # term shared by two queries cannot double-count.  The max() aggregates
+    # are never read: they pin doc_id/dl/tf into this branch's projection
+    # so its subtree is byte-identical to the scoring branch's and the
+    # term-partitioned Exchange dedupes (ReusedExchange, asserted by
+    # tests/test_plan_shapes.py) — without them column pruning specializes
+    # the two subtrees and the corpus tokenize runs twice
+    always = F.col("doc_id").isNotNull() & (F.col("dl") >= 0) & (F.col("tf") >= 0)
+    dfreq = hits.groupBy("term").agg(
+        # the guard is a tautology (doc_id is a key; dl/tf are counts ≥ 0):
+        # df == count(*).  It exists to REFERENCE doc_id/dl/tf inside the
+        # kept aggregate so column pruning cannot specialize this branch's
+        # subtree — both branches then share one byte-identical
+        # term-partitioned Exchange (ReusedExchange, asserted by
+        # tests/test_plan_shapes.py) and the corpus tokenize runs once
+        F.count(F.when(always, 1)).alias("df")
+    )
     # corpus stats (n_docs, total Σdl): one more map-side-only partial agg
     # scan — these are corpus constants a production pipeline computes once
     # and passes in, not per query set

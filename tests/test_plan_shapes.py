@@ -31,13 +31,14 @@ def test_relational_queries_have_no_python_stage(spark):
         dedup,
         hygiene,
         relational,
+        retrieval,
         sampling,
         similarity,
         temporal,
         textstats,
     )
 
-    for mod in (relational, textstats, hygiene, sampling, dedup, similarity, temporal):
+    for mod in (relational, textstats, hygiene, sampling, dedup, similarity, temporal, retrieval):
         for name, fn in mod.QUERIES.items():
             if name == "dedup_minhash_prod":
                 continue
@@ -221,3 +222,44 @@ def test_flagship_transcripts_have_no_window_shuffle(spark):
     # plan fails here instead of hiding behind the read_spread allowance.
     assert plan.count("RoundRobinPartitioning") == 1
     assert plan.count("Exchange") == 2
+
+
+def test_bm25_hit_list_scans_corpus_once(spark):
+    """The df-count and scoring branches must hang off ONE term-partitioned
+    exchange: losing the reuse silently doubles the corpus tokenize at
+    100 TB.  The dedupe happens at AQE stage-materialization time (the
+    static plan still prints two exchanges), so execute first and assert
+    the FINAL adaptive plan replaced the dfreq branch's term exchange with
+    a ReusedExchange — this is also the regression canary for the
+    tautology guard in dfreq that keeps both subtrees byte-identical
+    under column pruning."""
+    from tablestructurerec_spark.operators.retrieval import q_bm25_topk
+
+    df = q_bm25_topk(spark, SF)
+    df.collect()
+    plan = _plan(df)
+    assert any(
+        "ReusedExchange" in l and "hashpartitioning(term" in l
+        for l in plan.splitlines()
+    ), plan
+
+
+def test_dup_spans_repeat_count_is_not_a_window_funnel(spark):
+    """Repeats must be counted via partial-agg groupBy + semi join — a
+    count() OVER (PARTITION BY hash) funnels every occurrence of a hot
+    window hash through one un-splittable sort task."""
+    from tablestructurerec_spark.operators.hygiene import q_dup_spans
+
+    plan = _plan(q_dup_spans(spark, SF))
+    assert "LeftSemi" in plan
+    # exactly one Window op remains: the doc-partitioned islands merge
+    assert plan.count("Window") - plan.count("RunningWindowFunction") <= 2
+
+
+def test_group_sample_is_two_stage(spark):
+    """salted_topk: a per-(group, salt) rank must precede the final
+    per-group rank, so no group funnels through one task unranked."""
+    from tablestructurerec_spark.operators.sampling import q_group_sample
+
+    plan = _plan(q_group_sample(spark, SF))
+    assert plan.count("row_number()") >= 2
