@@ -1,0 +1,44 @@
+#!/usr/bin/env python
+"""Training-data pipeline demo over the ``documents`` table: hygiene →
+dedup → substring cleanup → selection → retrieval, each stage one of the
+oracle-checked operators.  Run:
+    PYTHONPATH=. python examples/demo_corpus_pipeline.py [sf_dir]
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("SPARK_GRAFT_CPUS", "4")
+
+from tablestructurerec_spark.session import get_spark
+
+if __name__ == "__main__":
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark(app="demo-corpus-pipeline", cpus=4)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from tablestructurerec_spark.operators import dedup, hygiene, retrieval, sampling
+
+    print("== corpus filter (first failing reason per doc) ==")
+    hygiene.QUERIES["t_corpus_filter"](spark, sf_dir).groupBy("decision").count().show()
+
+    print("== MinHash near-dup candidate pairs ==")
+    pairs = dedup.QUERIES["dedup_minhash_lsh"](spark, sf_dir)
+    print(f"candidate pairs: {pairs.count()}")
+
+    print("== repeated-substring coverage (top 5 by dup_frac) ==")
+    hygiene.QUERIES["t_dup_spans"](spark, sf_dir).orderBy(
+        "dup_frac", ascending=False
+    ).show(5)
+
+    print("== boilerplate stripped (docs modified) ==")
+    stripped = hygiene.QUERIES["t_strip_repeated"](spark, sf_dir)
+    print(f"modified: {stripped.where('removed_chars > 0').count()}")
+
+    print("== exact 20-per-language sample ==")
+    sampling.QUERIES["t_group_sample"](spark, sf_dir).groupBy("lang").count().show()
+
+    print("== BM25 top-3 per query ==")
+    retrieval.QUERIES["t_bm25_topk"](spark, sf_dir).where("rank <= 3").show(12)
+
+    spark.stop()
