@@ -135,12 +135,7 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     hits = hits.repartition("term")
     # (doc_id, term) is unique in hits, so df is a plain count — no
     # count_distinct expand — and is taken BEFORE query_id attachment so a
-    # term shared by two queries cannot double-count.  The max() aggregates
-    # are never read: they pin doc_id/dl/tf into this branch's projection
-    # so its subtree is byte-identical to the scoring branch's and the
-    # term-partitioned Exchange dedupes (ReusedExchange, asserted by
-    # tests/test_plan_shapes.py) — without them column pruning specializes
-    # the two subtrees and the corpus tokenize runs twice
+    # term shared by two queries cannot double-count
     always = F.col("doc_id").isNotNull() & (F.col("dl") >= 0) & (F.col("tf") >= 0)
     dfreq = hits.groupBy("term").agg(
         # the guard is a tautology (doc_id is a key; dl/tf are counts ≥ 0):
