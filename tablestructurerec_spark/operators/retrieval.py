@@ -293,12 +293,128 @@ ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# hybrid retrieval — reciprocal-rank fusion of BM25 and embedding cosine
+# ---------------------------------------------------------------------------
+_RRF_K = 60  # standard RRF damping constant
+_N_QUERIES = len(_BM25_QUERIES)
+
+
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search: fuse the lexical (BM25) and vector (embedding
+    cosine) top-10 lists per query with reciprocal-rank fusion
+    ``rrf = Σ 1/(60 + rank)`` — the standard fusion rule, and exactly
+    oracle-able because it consumes integer RANKS, not incomparable raw
+    scores.
+
+    Query q's vector is ``embeddings[vec_id == q]`` (deterministic, no
+    external data; the query doc itself is excluded from its candidates).
+    The vector side here is the brute-force baseline — broadcast query
+    vectors, map-side cosine, :func:`salted_topk` — with the IVF/LSH
+    variants in ``operators/similarity`` as the scale path.  Cosine is
+    rounded to 6 decimals BEFORE ranking (the proven ``ann_bruteforce``
+    pattern) so rank decisions cannot differ between engines on a last-ulp
+    score difference; the fusion sum is two fixed-order terms of integer
+    reciprocals — bit-stable.  The final per-query rank is a plain window:
+    after fusion each query holds ≤ 20 rows, so there is nothing to salt.
+    """
+    # similarity's dot/norm kernels are the oracle-proven sequential folds
+    from .similarity import _dot, _norm
+
+    lex = (
+        q_bm25_topk(spark, sf_dir)
+        .select("query_id", F.col("doc_id"), F.col("rank").alias("r_lex"))
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    qvecs = emb.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").cast("int").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(qvecs))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("doc_id"),
+            F.round(
+                _dot(F.col("embedding"), F.col("qv"))
+                / (_norm(F.col("embedding")) * _norm(F.col("qv"))),
+                6,
+            ).alias("cos"),
+        )
+    )
+    vec = (
+        salted_topk(
+            scored, "query_id", [F.desc("cos"), F.asc("doc_id")], _TOPK,
+            salt_col="doc_id",
+        )
+        .select("query_id", "doc_id", F.col("rank").alias("r_vec"))
+    )
+    rrf = F.round(
+        F.when(F.col("r_lex").isNotNull(), 1.0 / (_RRF_K + F.col("r_lex"))).otherwise(0.0)
+        + F.when(F.col("r_vec").isNotNull(), 1.0 / (_RRF_K + F.col("r_vec"))).otherwise(0.0),
+        6,
+    )
+    fused = lex.join(vec, ["query_id", "doc_id"], "full").select(
+        "query_id",
+        "doc_id",
+        rrf.alias("rrf"),
+        F.coalesce("r_lex", F.lit(0)).cast("int").alias("r_lex"),
+        F.coalesce("r_vec", F.lit(0)).cast("int").alias("r_vec"),
+    )
+    final = Window.partitionBy("query_id").orderBy(F.desc("rrf"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(final).cast("int"))
+        .where(F.col("rank") <= _TOPK)
+        .select("query_id", "rank", "doc_id", "rrf", "r_lex", "r_vec")
+        .orderBy("query_id", "rank")
+    )
+
+
+def _hybrid_sql() -> str:
+    from .similarity import _cos_sql
+
+    return f"""
+WITH lex AS (
+  SELECT query_id, doc_id, rank AS r_lex FROM ({_bm25_sql()})
+), qv AS (
+  SELECT CAST(vec_id AS INT) AS query_id, embedding AS qv
+  FROM embeddings WHERE vec_id < {_N_QUERIES}
+), scored AS (
+  SELECT q.query_id, e.vec_id AS doc_id,
+         ROUND({_cos_sql('e.embedding', 'q.qv')}, 6) AS cos
+  FROM embeddings e CROSS JOIN qv q
+  WHERE e.vec_id <> q.query_id
+), vec AS (
+  SELECT query_id, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, doc_id) AS r_vec
+  FROM scored
+  QUALIFY r_vec <= {_TOPK}
+), fused AS (
+  SELECT query_id, doc_id,
+         ROUND(CASE WHEN r_lex IS NULL THEN 0.0 ELSE 1.0 / ({_RRF_K} + r_lex) END
+             + CASE WHEN r_vec IS NULL THEN 0.0 ELSE 1.0 / ({_RRF_K} + r_vec) END,
+               6) AS rrf,
+         CAST(COALESCE(r_lex, 0) AS INT) AS r_lex,
+         CAST(COALESCE(r_vec, 0) AS INT) AS r_vec
+  FROM lex FULL JOIN vec USING (query_id, doc_id)
+)
+SELECT query_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS INT) AS rank,
+       doc_id, rrf, r_lex, r_vec
+FROM fused
+QUALIFY rank <= {_TOPK}
+ORDER BY query_id, rank
+"""
+
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_bm25_topk": q_bm25_topk,
     "t_unigram_logprob": q_unigram_logprob,
+    "t_hybrid_rrf": q_hybrid_rrf,
 }
 
 ORACLE_SQL: Dict[str, str] = {
     "t_bm25_topk": _bm25_sql(),
     "t_unigram_logprob": _UNIGRAM_SQL,
+    "t_hybrid_rrf": _hybrid_sql(),
 }
