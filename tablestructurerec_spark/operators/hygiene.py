@@ -811,6 +811,60 @@ ORDER BY d.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# adaptive filtering — thresholds DERIVED from the corpus, not hardcoded
+# ---------------------------------------------------------------------------
+_ADAPT_P = 0.25  # drop each source's shortest quartile
+
+
+def q_adaptive_length_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep documents at or above their OWN source's 25th percentile of
+    token count — the data-derived analogue of ``t_corpus_filter``'s fixed
+    thresholds (fixed cutoffs mis-fire when sources have different length
+    regimes; a code-snippet source and a book source need different bars).
+
+    Two-pass shape: a per-source quantile aggregate (rows = #sources, tiny
+    relative to the corpus at any scale) joined back to the scan.  The
+    join carries no broadcast hint — millions of web hosts is still a
+    small frame, and AQE broadcasts when it actually fits.  Quantiles are
+    exact type-7 over integer token counts, so the threshold doubles are
+    bit-identical across engines and the >= comparison cannot flip.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", "source", F.size(tokens_col(F.col("text"))).alias("n_tokens")
+    )
+    thr = base.groupBy("source").agg(
+        F.percentile("n_tokens", _ADAPT_P).alias("thr")
+    )
+    return (
+        base.join(thr, "source")
+        .where(F.col("n_tokens") >= F.col("thr"))
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_tokens").cast("int").alias("n_tokens"),
+            F.round("thr", 6).alias("thr_p25"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_ADAPTIVE_FILTER_SQL = f"""
+WITH base AS (
+  SELECT doc_id, source, len({_TOKENS_SQL}) AS n_tokens FROM documents
+), thr AS (
+  SELECT source, quantile_cont(n_tokens, {_ADAPT_P}) AS thr
+  FROM base GROUP BY source
+)
+SELECT b.doc_id, b.source, CAST(b.n_tokens AS INT) AS n_tokens,
+       ROUND(t.thr, 6) AS thr_p25
+FROM base b JOIN thr t USING (source)
+WHERE b.n_tokens >= t.thr
+ORDER BY b.doc_id
+"""
+
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_pii_scrub": q_pii_scrub,
     "t_repetition": q_repetition,
@@ -819,6 +873,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_decontaminate": q_decontaminate,
     "t_dup_spans": q_dup_spans,
     "t_strip_repeated": q_strip_repeated,
+    "t_adaptive_filter": q_adaptive_length_filter,
 }
 
 ORACLE_SQL: Dict[str, str] = {
@@ -829,4 +884,5 @@ ORACLE_SQL: Dict[str, str] = {
     "dedup_decontaminate": _DECONTAMINATE_SQL,
     "t_dup_spans": _DUP_SPANS_SQL,
     "t_strip_repeated": _STRIP_REPEATED_SQL,
+    "t_adaptive_filter": _ADAPTIVE_FILTER_SQL,
 }
