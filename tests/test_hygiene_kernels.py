@@ -115,3 +115,52 @@ def test_dup_islands_match_planted_duplicates(spark):
             assert any(
                 s0 < pos + len(block) and e1 > pos for s0, e1 in got.get(i, [])
             ), (i, pos)
+
+
+def test_strip_repeated_removes_planted_boilerplate(spark, tmp_path):
+    """End-to-end: write a corpus with a planted repeated block as a real
+    documents table, run q_strip_repeated, and assert the block is gone
+    from every planted doc while unplanted docs pass through unchanged."""
+    import pandas as pd
+
+    from tablestructurerec_spark.operators.hygiene import q_strip_repeated
+
+    rng = random.Random(7)
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+
+    def words(n_chars):
+        out = []
+        while sum(len(w) + 1 for w in out) < n_chars:
+            out.append("".join(rng.choice(alpha) for _ in range(rng.randrange(2, 9))))
+        return " ".join(out)
+
+    block = words(80)
+    rows = []
+    for i in range(40):
+        body = words(rng.randrange(60, 200))
+        if i % 2 == 0:
+            pos = rng.randrange(0, len(body))
+            body = body[:pos] + " " + block + " " + body[pos:]
+        rows.append({"doc_id": i, "text": body, "lang": "en", "source": "s",
+                     "n_chars": len(body)})
+    pdf = pd.DataFrame(rows)
+    sf_dir = str(tmp_path)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.Table.from_pandas(pdf), f"{sf_dir}/documents.parquet")
+    out = {r.doc_id: r for r in q_strip_repeated(spark, sf_dir).collect()}
+    originals = {r["doc_id"]: r["text"] for r in rows}
+    for i, text in originals.items():
+        if i % 2 == 0:
+            assert block not in out[i].clean_text, i
+            # spans cover anchored windows only, so up to ~a window length
+            # at each block edge can survive (before the first in-block
+            # space / past the last window fit)
+            assert out[i].removed_chars >= len(block) - 2 * 32, i
+        else:
+            # unplanted random word salad: may share short windows by
+            # chance only if a 32-char run repeats — with 26^~27 content
+            # that never happens, so it must pass through byte-identical
+            assert out[i].clean_text == text, i
+            assert out[i].removed_chars == 0, i
