@@ -190,12 +190,115 @@ ORDER BY grain, bucket, event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# sequenced funnel — view → click → purchase, each step AFTER the previous
+# ---------------------------------------------------------------------------
+_FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per user: the classic ORDERED funnel — first ``view``, first
+    ``click`` at-or-after that view, first ``purchase`` at-or-after that
+    click (an unordered ``count distinct event_type`` overstates
+    conversion; the sequencing is the point).
+
+    Shape: a conditional min-ts cascade — three aggregations all keyed on
+    ``user_id`` (high-cardinality, no skew pivot) with the step-N frame
+    (#users rows, shrinking each step) joined back to the filtered event
+    stream.  No window over the raw stream and no per-user array
+    materialization, so a power user costs three partial-agg passes, never
+    an in-memory event list.  Timestamps surface as anchor-relative
+    microseconds BIGINT (the rollup's tz-free bucketing trick — the source
+    column is TIMESTAMP_NTZ, so absolute epoch extraction would be
+    session-timezone-dependent) with ``-1`` for "did not reach" — integer
+    outputs hash exactly; a nullable timestamp would compare NaT != NaT in
+    the driver.
+    """
+    raw = _t(spark, sf_dir, "events")
+    anchor = raw.agg(F.min("ts").alias("t0"))  # 1 row — broadcast by AQE
+    ev = raw.crossJoin(F.broadcast(anchor)).select(
+        "user_id",
+        F.expr("timestampdiff(MICROSECOND, t0, ts)").cast("long").alias("us"),
+        "event_type",
+    )
+    v = (
+        ev.where(F.col("event_type") == _FUNNEL_STEPS[0])
+        .groupBy("user_id")
+        .agg(F.min("us").alias("v_us"))
+    )
+    c = (
+        ev.where(F.col("event_type") == _FUNNEL_STEPS[1])
+        .join(v, "user_id")
+        .where(F.col("us") >= F.col("v_us"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("c_us"))
+    )
+    p = (
+        ev.where(F.col("event_type") == _FUNNEL_STEPS[2])
+        .join(c, "user_id")
+        .where(F.col("us") >= F.col("c_us"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("p_us"))
+    )
+    stage = (
+        F.when(F.col("p_us").isNotNull(), F.lit(_FUNNEL_STEPS[2]))
+        .when(F.col("c_us").isNotNull(), F.lit(_FUNNEL_STEPS[1]))
+        .otherwise(F.lit(_FUNNEL_STEPS[0]))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            F.col("v_us").alias("view_us"),
+            F.coalesce("c_us", F.lit(-1)).alias("click_us"),
+            F.coalesce("p_us", F.lit(-1)).alias("purchase_us"),
+            stage.alias("stage"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_FUNNEL_SQL = f"""
+WITH anchor AS (
+  SELECT MIN(ts) AS t0 FROM events
+), ev AS (
+  SELECT user_id, CAST(date_diff('microsecond', t0, ts) AS BIGINT) AS us,
+         event_type
+  FROM events, anchor
+), v AS (
+  SELECT user_id, MIN(us) AS v_us FROM ev
+  WHERE event_type = '{_FUNNEL_STEPS[0]}' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, MIN(e.us) AS c_us
+  FROM ev e JOIN v USING (user_id)
+  WHERE e.event_type = '{_FUNNEL_STEPS[1]}' AND e.us >= v.v_us
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, MIN(e.us) AS p_us
+  FROM ev e JOIN c USING (user_id)
+  WHERE e.event_type = '{_FUNNEL_STEPS[2]}' AND e.us >= c.c_us
+  GROUP BY e.user_id
+)
+SELECT v.user_id, v.v_us AS view_us,
+       COALESCE(c.c_us, -1) AS click_us,
+       COALESCE(p.p_us, -1) AS purchase_us,
+       CASE WHEN p.p_us IS NOT NULL THEN '{_FUNNEL_STEPS[2]}'
+            WHEN c.c_us IS NOT NULL THEN '{_FUNNEL_STEPS[1]}'
+            ELSE '{_FUNNEL_STEPS[0]}' END AS stage
+FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+ORDER BY v.user_id
+"""
+
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_asof_join": q_asof_join,
     "t_event_rollup": q_event_rollup,
+    "t_event_funnel": q_event_funnel,
 }
 
 ORACLE_SQL: Dict[str, str] = {
     "t_asof_join": _ASOF_SQL,
     "t_event_rollup": _ROLLUP_SQL,
+    "t_event_funnel": _FUNNEL_SQL,
 }
