@@ -134,6 +134,23 @@ def _plane_weight(p: int, d: int) -> float:
     return v / 32768.0 - 1.0
 
 
+def _bucket_bits(col: Column, n_planes: int = _N_PLANES) -> Column:
+    """Sign-LSH bucket id from the deterministic pseudo-hyperplanes."""
+    bits = []
+    for p in range(n_planes):
+        proj = F.aggregate(
+            F.zip_with(
+                col,
+                F.array(*[F.lit(_plane_weight(p, d)) for d in range(_DIM)]),
+                lambda x, w: x.cast("double") * w,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(proj >= 0, 1).otherwise(0) * (1 << p))
+    return sum(bits).cast("int")
+
+
 def q_ann_lsh_bucket(
     spark: SparkSession, sf_dir: str, n_planes: int = _N_PLANES
 ) -> DataFrame:
@@ -141,23 +158,10 @@ def q_ann_lsh_bucket(
     # the default is bench-sized and pinned by the DuckDB oracle) — the
     # bucketed plan shape is size-independent.
     emb = _t(spark, sf_dir, "embeddings")
-
-    def bucket_bits(col: Column) -> Column:
-        bits = []
-        for p in range(n_planes):
-            proj = F.aggregate(
-                F.zip_with(
-                    col,
-                    F.array(*[F.lit(_plane_weight(p, d)) for d in range(_DIM)]),
-                    lambda x, w: x.cast("double") * w,
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-            bits.append(F.when(proj >= 0, 1).otherwise(0) * (1 << p))
-        return sum(bits).cast("int")
-
-    bucketed = emb.select("vec_id", "label", "embedding", bucket_bits(F.col("embedding")).alias("bucket"))
+    bucketed = emb.select(
+        "vec_id", "label", "embedding",
+        _bucket_bits(F.col("embedding"), n_planes).alias("bucket"),
+    )
     # multi-probe (Hamming radius 1): the query probes its own bucket plus
     # the _N_PLANES buckets one sign-flip away — the standard recall lever;
     # candidates are (1 + planes) / 2^planes of the data instead of 2^-planes
@@ -469,12 +473,105 @@ ORDER BY vec_a, vec_b
 """
 
 
+# ---------------------------------------------------------------------------
+# contrastive triplet mining — (anchor, hardest positive, hardest negative)
+# ---------------------------------------------------------------------------
+def q_triplet_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every anchor embedding: its most-similar SAME-label candidate
+    (the positive) and most-similar DIFFERENT-label candidate (the hard
+    negative) among its sign-LSH bucket mates, plus the contrastive margin
+    ``cos_pos − cos_neg`` — the data-prep stage for contrastive/triplet
+    training, and the hard-negative miner for retrieval finetuning.
+
+    Blocking is the same never-all-pairs discipline as the dedup family:
+    candidates come from a bucket equi self-join (each vector has ONE
+    bucket here, so a pair is generated at most once), never a cross
+    join; anchors whose bucket lacks a same- or different-label mate drop
+    out (the standard blocked-mining recall tradeoff — more planes /
+    multi-probe widen it).  Cosine rounds to 6dp before ranking, ranks
+    break ties on candidate id, and the margin is a difference of two
+    already-rounded doubles — all engine-stable.
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    bucketed = emb.select(
+        "vec_id", "label", "embedding", _bucket_bits(F.col("embedding")).alias("bucket")
+    )
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    cand = (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") != F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("anchor"),
+            F.col("a.label").alias("a_label"),
+            F.col("b.vec_id").alias("cand"),
+            F.col("b.label").alias("c_label"),
+            F.round(
+                _dot(F.col("a.embedding"), F.col("b.embedding"))
+                / (_norm(F.col("a.embedding")) * _norm(F.col("b.embedding"))),
+                6,
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("anchor").orderBy(F.desc("cos"), F.asc("cand"))
+    pos = (
+        cand.where(F.col("a_label") == F.col("c_label"))
+        .withColumn("r", F.row_number().over(w))
+        .where(F.col("r") == 1)
+        .select("anchor", F.col("cand").alias("pos_id"), F.col("cos").alias("cos_pos"))
+    )
+    neg = (
+        cand.where(F.col("a_label") != F.col("c_label"))
+        .withColumn("r", F.row_number().over(w))
+        .where(F.col("r") == 1)
+        .select("anchor", F.col("cand").alias("neg_id"), F.col("cos").alias("cos_neg"))
+    )
+    return (
+        pos.join(neg, "anchor")
+        .select(
+            "anchor", "pos_id", "cos_pos", "neg_id", "cos_neg",
+            F.round(F.col("cos_pos") - F.col("cos_neg"), 6).alias("margin"),
+        )
+        .orderBy("anchor")
+    )
+
+
+def _triplet_oracle() -> str:
+    bits = " + ".join(
+        f"(CASE WHEN {_plane_sql(p)} >= 0 THEN 1 ELSE 0 END) * {1 << p}"
+        for p in range(_N_PLANES)
+    )
+    return f"""
+WITH bucketed AS (
+  SELECT vec_id, label, embedding, CAST({bits} AS INT) AS bucket
+  FROM embeddings
+), cand AS (
+  SELECT a.vec_id AS anchor, a.label AS a_label, b.vec_id AS cand,
+         b.label AS c_label,
+         ROUND({_cos_sql('a.embedding', 'b.embedding')}, 6) AS cos
+  FROM bucketed a JOIN bucketed b
+    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+), pos AS (
+  SELECT anchor, cand AS pos_id, cos AS cos_pos,
+         ROW_NUMBER() OVER (PARTITION BY anchor ORDER BY cos DESC, cand) AS r
+  FROM cand WHERE a_label = c_label QUALIFY r = 1
+), neg AS (
+  SELECT anchor, cand AS neg_id, cos AS cos_neg,
+         ROW_NUMBER() OVER (PARTITION BY anchor ORDER BY cos DESC, cand) AS r
+  FROM cand WHERE a_label <> c_label QUALIFY r = 1
+)
+SELECT p.anchor, p.pos_id, p.cos_pos, n.neg_id, n.cos_neg,
+       ROUND(p.cos_pos - n.cos_neg, 6) AS margin
+FROM pos p JOIN neg n USING (anchor)
+ORDER BY p.anchor
+"""
+
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_bruteforce_topk": q_ann_bruteforce,
     "ann_lsh_bucket_topk": q_ann_lsh_bucket,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_ivf_kmeans_topk": q_ann_ivf_kmeans_topk,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "t_triplet_mine": q_triplet_mine,
 }
 
 ORACLE_SQL: Dict[str, str] = {
@@ -482,4 +579,5 @@ ORACLE_SQL: Dict[str, str] = {
     "ann_lsh_bucket_topk": _lsh_oracle(),
     "ann_ivf_topk": _ANN_IVF_SQL,
     "dedup_embedding_cosine": _EMB_PAIRS_SQL,
+    "t_triplet_mine": _triplet_oracle(),
 }
