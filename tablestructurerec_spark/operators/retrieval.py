@@ -297,7 +297,6 @@ ORDER BY doc_id
 # hybrid retrieval — reciprocal-rank fusion of BM25 and embedding cosine
 # ---------------------------------------------------------------------------
 _RRF_K = 60  # standard RRF damping constant
-_N_QUERIES = len(_BM25_QUERIES)
 
 
 def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -308,7 +307,10 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores.
 
     Query q's vector is ``embeddings[vec_id == q]`` (deterministic, no
-    external data; the query doc itself is excluded from its candidates).
+    external data).  The query's own doc is excluded from BOTH lists, with
+    the lexical survivors re-ranked post-exclusion, so RRF consumes each
+    list's true candidate ranks (dropping it from one side only would
+    under-score it as "absent from the vector list" yet still surface it).
     The vector side here is the brute-force baseline — broadcast query
     vectors, map-side cosine, :func:`salted_topk` — with the IVF/LSH
     variants in ``operators/similarity`` as the scale path.  Cosine is
@@ -321,12 +323,23 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # similarity's dot/norm kernels are the oracle-proven sequential folds
     from .similarity import _dot, _norm
 
+    qids = [qid for qid, _ in _BM25_QUERIES]
+    # exclude the query's own doc from BOTH lists, and re-rank the lexical
+    # survivors so RRF consumes each list's post-exclusion ranks — dropping
+    # it from one side only would under-score it (absent from the vector
+    # list) while still surfacing it via its lexical rank
+    relex = Window.partitionBy("query_id").orderBy("rank")
     lex = (
         q_bm25_topk(spark, sf_dir)
-        .select("query_id", F.col("doc_id"), F.col("rank").alias("r_lex"))
+        .where(F.col("doc_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "doc_id",
+            F.row_number().over(relex).cast("int").alias("r_lex"),
+        )
     )
     emb = _t(spark, sf_dir, "embeddings")
-    qvecs = emb.where(F.col("vec_id") < _N_QUERIES).select(
+    qvecs = emb.where(F.col("vec_id").isin(qids)).select(
         F.col("vec_id").cast("int").alias("query_id"), F.col("embedding").alias("qv")
     )
     scored = (
@@ -373,12 +386,16 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _hybrid_sql() -> str:
     from .similarity import _cos_sql
 
+    qid_list = ", ".join(str(qid) for qid, _ in _BM25_QUERIES)
     return f"""
 WITH lex AS (
-  SELECT query_id, doc_id, rank AS r_lex FROM ({_bm25_sql()})
+  SELECT query_id, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rank) AS r_lex
+  FROM ({_bm25_sql()})
+  WHERE doc_id <> query_id
 ), qv AS (
   SELECT CAST(vec_id AS INT) AS query_id, embedding AS qv
-  FROM embeddings WHERE vec_id < {_N_QUERIES}
+  FROM embeddings WHERE vec_id IN ({qid_list})
 ), scored AS (
   SELECT q.query_id, e.vec_id AS doc_id,
          ROUND({_cos_sql('e.embedding', 'q.qv')}, 6) AS cos

@@ -210,11 +210,17 @@ def _plane_sql(p: int) -> str:
     ).format(p=p, dim=_DIM)
 
 
-def _lsh_oracle() -> str:
-    bits = " + ".join(
+def _bits_sql() -> str:
+    """SQL twin of :func:`_bucket_bits` — single-sourced so the LSH-family
+    oracles cannot disagree about bucketing."""
+    return " + ".join(
         f"(CASE WHEN {_plane_sql(p)} >= 0 THEN 1 ELSE 0 END) * {1 << p}"
         for p in range(_N_PLANES)
     )
+
+
+def _lsh_oracle() -> str:
+    bits = _bits_sql()
     probe_list = ", ".join(["bucket"] + [f"xor(bucket, {1 << p})" for p in range(_N_PLANES)])
     return f"""
 WITH bucketed AS (
@@ -511,21 +517,26 @@ def q_triplet_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cos"),
         )
     )
-    w = Window.partitionBy("anchor").orderBy(F.desc("cos"), F.asc("cand"))
-    pos = (
-        cand.where(F.col("a_label") == F.col("c_label"))
+    # ONE pass over the expensive pair frame: rank within (anchor, label
+    # class) and pivot the two rank-1 rows per anchor in a single agg —
+    # separate pos/neg branches would each re-run the bucket self-join +
+    # 64-dim cosine subtree (the dominant cost)
+    same = F.col("a_label") == F.col("c_label")
+    w = Window.partitionBy("anchor", same).orderBy(F.desc("cos"), F.asc("cand"))
+    best = (
+        cand.withColumn("same", same)
         .withColumn("r", F.row_number().over(w))
         .where(F.col("r") == 1)
-        .select("anchor", F.col("cand").alias("pos_id"), F.col("cos").alias("cos_pos"))
-    )
-    neg = (
-        cand.where(F.col("a_label") != F.col("c_label"))
-        .withColumn("r", F.row_number().over(w))
-        .where(F.col("r") == 1)
-        .select("anchor", F.col("cand").alias("neg_id"), F.col("cos").alias("cos_neg"))
     )
     return (
-        pos.join(neg, "anchor")
+        best.groupBy("anchor")
+        .agg(
+            F.max(F.when(F.col("same"), F.col("cand"))).alias("pos_id"),
+            F.max(F.when(F.col("same"), F.col("cos"))).alias("cos_pos"),
+            F.max(F.when(~F.col("same"), F.col("cand"))).alias("neg_id"),
+            F.max(F.when(~F.col("same"), F.col("cos"))).alias("cos_neg"),
+        )
+        .where(F.col("pos_id").isNotNull() & F.col("neg_id").isNotNull())
         .select(
             "anchor", "pos_id", "cos_pos", "neg_id", "cos_neg",
             F.round(F.col("cos_pos") - F.col("cos_neg"), 6).alias("margin"),
@@ -535,10 +546,7 @@ def q_triplet_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _triplet_oracle() -> str:
-    bits = " + ".join(
-        f"(CASE WHEN {_plane_sql(p)} >= 0 THEN 1 ELSE 0 END) * {1 << p}"
-        for p in range(_N_PLANES)
-    )
+    bits = _bits_sql()
     return f"""
 WITH bucketed AS (
   SELECT vec_id, label, embedding, CAST({bits} AS INT) AS bucket
