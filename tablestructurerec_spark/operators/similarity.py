@@ -499,8 +499,13 @@ def q_triplet_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
     already-rounded doubles — all engine-stable.
     """
     emb = _t(spark, sf_dir, "embeddings")
+    # norms precompute ONCE per vector (N folds), not once per pair side
+    # (2·|pairs| folds) — the identical float expression, just hoisted, so
+    # the cosine value is bit-unchanged
     bucketed = emb.select(
-        "vec_id", "label", "embedding", _bucket_bits(F.col("embedding")).alias("bucket")
+        "vec_id", "label", "embedding",
+        _bucket_bits(F.col("embedding")).alias("bucket"),
+        _norm(F.col("embedding")).alias("nrm"),
     )
     a, b = bucketed.alias("a"), bucketed.alias("b")
     cand = (
@@ -512,7 +517,7 @@ def q_triplet_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.label").alias("c_label"),
             F.round(
                 _dot(F.col("a.embedding"), F.col("b.embedding"))
-                / (_norm(F.col("a.embedding")) * _norm(F.col("b.embedding"))),
+                / (F.col("a.nrm") * F.col("b.nrm")),
                 6,
             ).alias("cos"),
         )
