@@ -606,7 +606,12 @@ def _dup_islands(docs: DataFrame) -> DataFrame:
     expected case — partial map-side aggregation combines it per mapper,
     and the join back is an equi-join AQE can skew-split, where a window
     function would funnel every occurrence of the hot hash through one
-    sort task with no partial-agg and no skew split."""
+    sort task with no partial-agg and no skew split.  The count branch
+    re-evaluates the window build (a second scan+hash pass) — deliberate:
+    pinning both branches to one shared exchange (the BM25 trick) would
+    put the raw hit rows through the exchange BEFORE aggregation,
+    forfeiting the map-side combine and reintroducing the hot-hash funnel.
+    Two linear scans beat one unbounded skew pivot."""
     anchors = F.filter(
         F.sequence(F.lit(0), F.length("text") - _SPAN_W),
         lambda i: (i == 0) | (F.col("text").substr(i + 1, F.lit(1)) == " "),
@@ -744,24 +749,47 @@ def q_strip_repeated(spark: SparkSession, sf_dir: str) -> DataFrame:
     their windows trip the corpus-wide repeat count).
 
     The reassembly is row-based and all-integer: each island contributes
-    the KEEP segment that precedes it (``lag(e1) … s0``), one tail row per
-    doc covers ``max(e1) … len``, and the segments concatenate in ``ks``
-    order via a sorted-struct array — no fold UDF, identical semantics in
-    the DuckDB oracle's ``string_agg(… ORDER BY ks)``.  Docs with no
-    repeated spans pass through unchanged via the left join.
+    the KEEP segment that precedes it (``lag(e1) … s0``), the LAST island
+    row additionally emits the tail segment ``e1 … len`` (a separate
+    ``groupBy(doc_id).max(e1)`` branch would re-evaluate the whole islands
+    subtree — including the corpus scan + window hashing — a second time;
+    the last-row flag shares the one doc-partitioned window pass), and the
+    segments concatenate in ``ks`` order via a sorted-struct array — no
+    fold UDF, identical semantics in the DuckDB oracle's
+    ``string_agg(… ORDER BY ks)``.  Docs with no repeated spans pass
+    through unchanged via the left join.
     """
     docs = _t(spark, sf_dir, "documents")
     isl = _dup_islands(docs)
     w = Window.partitionBy("doc_id").orderBy("s0")
-    gaps = isl.select(
-        "doc_id",
-        F.coalesce(F.lag("e1").over(w), F.lit(0)).alias("ks"),
-        F.col("s0").cast("int").alias("ke"),
+    wall = Window.partitionBy("doc_id")
+    segs = (
+        isl.select(
+            "doc_id",
+            F.coalesce(F.lag("e1").over(w), F.lit(0)).cast("int").alias("ks"),
+            F.col("s0").cast("int").alias("ke"),
+            (F.col("s0") == F.max("s0").over(wall)).alias("is_last"),
+            F.col("e1").cast("int").alias("e1"),
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.concat(
+                    F.array(F.struct(F.col("ks"), F.col("ke"))),
+                    F.when(
+                        F.col("is_last"),
+                        F.array(
+                            F.struct(
+                                F.col("e1").alias("ks"),
+                                F.lit(None).cast("int").alias("ke"),
+                            )
+                        ),
+                    ).otherwise(F.array().cast("array<struct<ks:int,ke:int>>")),
+                )
+            ).alias("seg"),
+        )
+        .select("doc_id", F.col("seg.ks").alias("ks"), F.col("seg.ke").alias("ke"))
     )
-    tails = isl.groupBy("doc_id").agg(F.max("e1").alias("ks")).select(
-        "doc_id", F.col("ks").cast("int").alias("ks"), F.lit(None).cast("int").alias("ke")
-    )
-    segs = gaps.select("doc_id", F.col("ks").cast("int").alias("ks"), "ke").unionByName(tails)
     joined = segs.join(docs.select("doc_id", "text"), "doc_id")
     seg = F.col("text").substr(
         F.col("ks") + 1, F.coalesce(F.col("ke"), F.length("text")) - F.col("ks")
