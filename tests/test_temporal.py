@@ -102,3 +102,36 @@ def test_rollup_scans_raw_events_once(spark):
     assert plan.count("FileScan parquet") == 2
     scans = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
     assert any("[ts#" in ln and "value#" not in ln for ln in scans), "anchor scan must prune to ts"
+
+
+def test_event_funnel_matches_pandas_recompute(spark):
+    """Sequenced funnel vs a from-scratch per-user walk over the raw
+    events (independent of both the Spark plan and the SQL oracle)."""
+    import duckdb
+
+    from tablestructurerec_spark.operators.temporal import q_event_funnel
+
+    rows = duckdb.connect().execute(
+        f"SELECT user_id, ts, event_type FROM read_parquet('{SF}/events.parquet')"
+    ).fetchall()
+    t0 = min(ts for _, ts, _ in rows)
+    by_user: dict = {}
+    for uid, ts, et in rows:
+        by_user.setdefault(uid, []).append((int((ts - t0).total_seconds() * 1_000_000), et))
+    want = {}
+    for uid, evs in by_user.items():
+        views = [us for us, et in evs if et == "view"]
+        if not views:
+            continue
+        v = min(views)
+        clicks = [us for us, et in evs if et == "click" and us >= v]
+        c = min(clicks) if clicks else -1
+        purchases = [us for us, et in evs if et == "purchase" and c != -1 and us >= c]
+        p = min(purchases) if purchases else -1
+        stage = "purchase" if p != -1 else ("click" if c != -1 else "view")
+        want[uid] = (v, c, p, stage)
+    got = {
+        r.user_id: (r.view_us, r.click_us, r.purchase_us, r.stage)
+        for r in q_event_funnel(spark, SF).collect()
+    }
+    assert got == want
