@@ -762,13 +762,16 @@ def q_strip_repeated(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     isl = _dup_islands(docs)
     w = Window.partitionBy("doc_id").orderBy("s0")
-    wall = Window.partitionBy("doc_id")
     segs = (
         isl.select(
             "doc_id",
             F.coalesce(F.lag("e1").over(w), F.lit(0)).cast("int").alias("ks"),
             F.col("s0").cast("int").alias("ke"),
-            (F.col("s0") == F.max("s0").over(wall)).alias("is_last"),
+            # e1 is never null in islands, so a null lead ⇔ last row; lead
+            # shares the lag's exact window spec → ONE Window node (a
+            # max-over-unbounded-frame flag planned as a second stacked
+            # Window op)
+            F.lead("e1").over(w).isNull().alias("is_last"),
             F.col("e1").cast("int").alias("e1"),
         )
         .select(

@@ -104,9 +104,10 @@ def test_rollup_scans_raw_events_once(spark):
     assert any("[ts#" in ln and "value#" not in ln for ln in scans), "anchor scan must prune to ts"
 
 
-def test_event_funnel_matches_pandas_recompute(spark):
+def test_event_funnel_matches_python_recompute(spark):
     """Sequenced funnel vs a from-scratch per-user walk over the raw
-    events (independent of both the Spark plan and the SQL oracle)."""
+    events (independent of both the Spark plan and the SQL oracle;
+    duckdb serves only as the parquet reader)."""
     import duckdb
 
     from tablestructurerec_spark.operators.temporal import q_event_funnel
@@ -115,9 +116,15 @@ def test_event_funnel_matches_pandas_recompute(spark):
         f"SELECT user_id, ts, event_type FROM read_parquet('{SF}/events.parquet')"
     ).fetchall()
     t0 = min(ts for _, ts, _ in rows)
+
+    def us(td):
+        # exact integer microseconds — total_seconds() goes through a
+        # float and misrounds ~1% of this fixture's rows by 1 µs
+        return td.days * 86_400_000_000 + td.seconds * 1_000_000 + td.microseconds
+
     by_user: dict = {}
     for uid, ts, et in rows:
-        by_user.setdefault(uid, []).append((int((ts - t0).total_seconds() * 1_000_000), et))
+        by_user.setdefault(uid, []).append((us(ts - t0), et))
     want = {}
     for uid, evs in by_user.items():
         views = [us for us, et in evs if et == "view"]
