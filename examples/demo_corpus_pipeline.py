@@ -41,4 +41,21 @@ if __name__ == "__main__":
     print("== BM25 top-3 per query ==")
     retrieval.QUERIES["t_bm25_topk"](spark, sf_dir).where("rank <= 3").show(12)
 
+    print("== hybrid (BM25 + vector RRF) top-3 per query ==")
+    retrieval.QUERIES["t_hybrid_rrf"](spark, sf_dir).where("rank <= 3").show(12)
+
+    from tablestructurerec_spark.operators import similarity, temporal
+
+    print("== contrastive triplets (5 widest margins) ==")
+    similarity.QUERIES["t_triplet_mine"](spark, sf_dir).orderBy(
+        "margin", ascending=False
+    ).show(5)
+
+    print("== adaptive per-source length filter (kept fraction) ==")
+    kept = hygiene.QUERIES["t_adaptive_filter"](spark, sf_dir).count()
+    print(f"kept {kept} docs above their source's p25")
+
+    print("== event funnel stages ==")
+    temporal.QUERIES["t_event_funnel"](spark, sf_dir).groupBy("stage").count().show()
+
     spark.stop()
