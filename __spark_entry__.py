@@ -392,6 +392,11 @@ def oracle_sql() -> dict[str, str]:
     from tablestructurerec_spark.plans.reocr import REOCR_MERGE_ORACLE
 
     out["reocr_merge"] = REOCR_MERGE_ORACLE
+    # sf-specific oracles (refit/re-encode literals embedded in the SQL):
+    # the driver compares at sf0.01; the in-repo parity mirror pins
+    # TSR_TEST_SF_DIR to whatever sf it runs at.
+    sf_dir = os.environ.get("TSR_TEST_SF_DIR", "/root/testdata/sf0.01")
+    out["ann_ivf_kmeans_topk"] = similarity.ivf_kmeans_oracle(sf_dir)
     return out
 
 

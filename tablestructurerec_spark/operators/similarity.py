@@ -332,56 +332,100 @@ def _ivf_from_centroids(emb: DataFrame, cents: DataFrame, nprobe: int) -> DataFr
     )
 
 
+_KMEANS_ITERS = 8
+
+
+def _kmeans_sample_np(rows) -> "object":
+    """(vec_id-ordered rows of float32-widened embeddings) → float64 matrix.
+
+    Shared by the Spark query (rows off a bounded ``collect``) and the
+    DuckDB-oracle builder (rows off a parquet fetch): both widen the same
+    float32 parquet values exactly, so :func:`core.kmeans.lloyd` sees
+    bit-identical input from either path.
+    """
+    import numpy as np
+
+    return np.array([list(r) for r in rows], dtype=np.float64)
+
+
 def q_ann_ivf_kmeans_topk(
     spark: SparkSession,
     sf_dir: str,
     n_lists: int = _IVF_LISTS,
     nprobe: int = _IVF_NPROBE,
 ) -> DataFrame:
-    """IVF with a TRAINED coarse quantizer: MLlib k-means (fixed seed) fits
-    the list centroids, then the exact same assignment/probe/re-rank
-    plumbing as :func:`q_ann_ivf_topk` runs over them.
+    """IVF with a TRAINED coarse quantizer: deterministic Lloyd k-means
+    (``core/kmeans.py``) fits the list centroids on a bounded sample, then
+    the exact same assignment/probe/re-rank plumbing as
+    :func:`q_ann_ivf_topk` runs over them.
 
     At 100 TB the quantizer trains on a deterministic BOUNDED sample
     (k-means cost is per-training-row; a fixed id range caps it — a few
-    hundred thousand rows fix 2^10-2^16 centroids), and
-    the fitted centers — O(n_lists · dim) — broadcast exactly like the
-    seed-vector table.  k-means is not ANSI-SQL-expressible, so this entry
-    has no DuckDB oracle (driver does the rows-only check); its quality is
-    pinned by the ≥0.8 recall@10 test on clustered data and determinism by
-    a repeat-run equality test.
+    hundred thousand rows fix 2^10-2^16 centroids, same bounding rule as
+    hygiene._DECON_MAX_ID).  The sample is collected to the driver (≤131k
+    rows — a bounded small-side collect, like lineage metadata), fit in
+    numpy, and the fitted centers — O(n_lists · dim) — broadcast exactly
+    like the seed-vector table; assignment stays a distributed map-side
+    argmin.  Because the fit is a pure function of the sample (no RNG, no
+    k-means||), :func:`ivf_kmeans_oracle` refits the identical centers in
+    an independent process and replays assignment + probe + re-rank in
+    ANSI SQL — the full value-hash oracle round 2 couldn't have.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    from tablestructurerec_spark.core.kmeans import lloyd
 
     emb = _t(spark, sf_dir, "embeddings")
-    train = (
-        emb.where(F.col("vec_id") != 0)
-        # sample cap: a FIXED id range, not a fraction — a %-of-corpus
-        # selection would make the training set O(corpus) and KMeans.fit
-        # unboundedly expensive at 10^12 rows (same bounding rule as
-        # hygiene._DECON_MAX_ID).  <= _KMEANS_SAMPLE_MAX_ID rows no matter
-        # how big `embeddings` grows; covers the whole table at bench SF.
-        .where(F.col("vec_id") < _KMEANS_SAMPLE_MAX_ID)
-        .select(array_to_vector(F.col("embedding").cast("array<double>")).alias("features"))
-        # the capped sample is small by construction; k-means runs many tiny
-        # jobs per iteration, so fewer partitions beat scan parallelism here
-        .coalesce(8)
+    sample = (
+        emb.where((F.col("vec_id") != 0) & (F.col("vec_id") < _KMEANS_SAMPLE_MAX_ID))
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
     )
-    model = KMeans(k=n_lists, seed=42, maxIter=8).fit(train)
+    centers = lloyd(_kmeans_sample_np([r.embedding for r in sample]), n_lists, _KMEANS_ITERS)
     cents = emb.sparkSession.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        [(i, [float(v) for v in c]) for i, c in enumerate(centers)],
         "cid int, cv array<double>",
     )
     return _ivf_from_centroids(emb, cents, nprobe)
 
 
+def ivf_kmeans_oracle(sf_dir: str) -> str:
+    """Build the DuckDB oracle for :func:`q_ann_ivf_kmeans_topk` at
+    ``sf_dir``: refit the quantizer with the same :func:`lloyd` kernel on
+    the same bounded sample read straight off the parquet, embed the
+    centers as DOUBLE[] literals (17 significant digits — exact float64
+    round-trip), and express assignment/probe/re-rank in SQL exactly as
+    ``_ANN_IVF_SQL`` does over seed-vector centroids.
+
+    The centers are sf-specific, so the SQL string is built per sf_dir
+    (the driver runs oracles at sf0.01; ``__spark_entry__.oracle_sql``
+    passes that).  Called lazily — not at module import — because it reads
+    the parquet.
+    """
+    import duckdb
+
+    from tablestructurerec_spark.core.kmeans import lloyd
+
+    rows = duckdb.connect().execute(
+        f"SELECT embedding FROM read_parquet('{sf_dir}/embeddings.parquet') "
+        f"WHERE vec_id <> 0 AND vec_id < {_KMEANS_SAMPLE_MAX_ID} ORDER BY vec_id"
+    ).fetchall()
+    centers = lloyd(_kmeans_sample_np([r[0] for r in rows]), _IVF_LISTS, _KMEANS_ITERS)
+    vals = ",\n    ".join(
+        f"({i}, [{', '.join(f'{v:.17g}' for v in c)}]::DOUBLE[])"
+        for i, c in enumerate(centers)
+    )
+    return _ivf_sql(f"SELECT * FROM (VALUES\n    {vals}\n  ) AS t(cid, cv)")
+
+
 _SQDIST_SQL = "round(list_sum(list_transform(list_zip({a}, {b}), p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) ** 2)), 6)"
 
-_ANN_IVF_SQL = f"""
+def _ivf_sql(cents_body: str) -> str:
+    """The IVF oracle, parameterized on where the centroid table comes from
+    (seed vectors for ``ann_ivf_topk``, refit-literal VALUES for
+    ``ann_ivf_kmeans_topk``) — one template, zero drift between the two."""
+    return f"""
 WITH cents AS (
-  SELECT vec_id AS cid, embedding AS cv FROM embeddings
-  WHERE vec_id BETWEEN 1 AND {_IVF_LISTS}
+  {cents_body}
 ), assigned AS (
   SELECT e.vec_id,
          (SELECT c.cid FROM cents c
@@ -410,6 +454,12 @@ FROM scored
 ORDER BY cos DESC, vec_id ASC
 LIMIT {_TOPK}
 """
+
+
+_ANN_IVF_SQL = _ivf_sql(
+    f"SELECT vec_id AS cid, embedding AS cv FROM embeddings\n"
+    f"  WHERE vec_id BETWEEN 1 AND {_IVF_LISTS}"
+)
 
 
 # ---------------------------------------------------------------------------

@@ -43,6 +43,10 @@ def _normalize(df):
 def _entry_maps():
     import __spark_entry__ as entry_mod
 
+    # sf-specific oracle builders (kmeans refit, BPE re-encode) embed
+    # literals computed from the parquet at TSR_TEST_SF_DIR — pin it to the
+    # sf this mirror runs at so both sides see the same corpus
+    os.environ["TSR_TEST_SF_DIR"] = SF_DIR
     return entry_mod.queries(), entry_mod.oracle_sql()
 
 
