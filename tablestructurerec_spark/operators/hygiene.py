@@ -76,27 +76,31 @@ def _pii_augmented(text: Column, doc_id: Column) -> Column:
     )
 
 
-def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    aug = _pii_augmented(F.col("text"), F.col("doc_id")).alias("aug")
-    base = docs.select("doc_id", aug)
+def pii_metric_cols(aug: Column) -> list[Column]:
     red = F.regexp_replace(
         F.regexp_replace(
-            F.regexp_replace("aug", _PII_EMAIL, "<EMAIL>"),
+            F.regexp_replace(aug, _PII_EMAIL, "<EMAIL>"),
             _PII_IPV4,
             "<IP>",
         ),
         _PII_PHONE,
         "<PHONE>",
     )
-    return base.select(
-        "doc_id",
-        F.size(F.regexp_extract_all("aug", F.lit(_PII_EMAIL), F.lit(0))).cast("int").alias("n_emails"),
-        F.size(F.regexp_extract_all("aug", F.lit(_PII_IPV4), F.lit(0))).cast("int").alias("n_ips"),
-        F.size(F.regexp_extract_all("aug", F.lit(_PII_PHONE), F.lit(0))).cast("int").alias("n_phones"),
+    return [
+        F.size(F.regexp_extract_all(aug, F.lit(_PII_EMAIL), F.lit(0))).cast("int").alias("n_emails"),
+        F.size(F.regexp_extract_all(aug, F.lit(_PII_IPV4), F.lit(0))).cast("int").alias("n_ips"),
+        F.size(F.regexp_extract_all(aug, F.lit(_PII_PHONE), F.lit(0))).cast("int").alias("n_phones"),
         F.length(red).cast("int").alias("redacted_len"),
         F.md5(red).alias("redacted_md5"),
-    ).orderBy("doc_id")
+    ]
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", _pii_augmented(F.col("text"), F.col("doc_id")).alias("aug")
+    )
+    return base.select("doc_id", *pii_metric_cols(F.col("aug"))).orderBy("doc_id")
 
 
 _PII_AUG_SQL = (
@@ -180,60 +184,67 @@ def _dup_run_chars(sorted_arr: Column) -> Column:
     return F.aggregate(sorted_arr, acc0, step, lambda acc: acc["dup"])
 
 
-def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    # Deterministic augmentation: every 7th doc gets its 80-char prefix
-    # appended twice as extra sentences, so the duplicate-sentence branch is
-    # genuinely exercised on the synthetic corpus (which never repeats).
-    rep = F.concat(F.lit(". "), F.substring("text", 1, 80))
-    docs = docs.withColumn(
-        "text",
-        F.when(
-            F.col("doc_id") % 7 == 0, F.concat("text", rep, rep, F.lit(". "))
-        ).otherwise(F.col("text")),
-    )
-    toks = tokens_col(F.col("text"))
-    sents = F.filter(
-        F.transform(F.split(F.col("text"), r"[.!?]\s+"), lambda s: F.trim(s)),
+def rep_augmented(text: Column, doc_id: Column) -> Column:
+    """Deterministic augmentation: every 7th doc gets its 80-char prefix
+    appended twice as extra sentences, so the duplicate-sentence branch is
+    genuinely exercised on the synthetic corpus (which never repeats)."""
+    rep = F.concat(F.lit(". "), F.substring(text, 1, 80))
+    return F.when(doc_id % 7 == 0, F.concat(text, rep, rep, F.lit(". "))).otherwise(text)
+
+
+def rep_sents_col(text: Column) -> Column:
+    return F.filter(
+        F.transform(F.split(text, r"[.!?]\s+"), lambda s: F.trim(s)),
         lambda s: s != "",
     )
-    n = F.greatest(F.size(F.col("toks")) - 1, F.lit(0))
-    bigrams = F.zip_with(
-        F.slice(F.col("toks"), 1, n),
-        F.slice(F.col("toks"), 2, n),
+
+
+def rep_bigrams_col(toks: Column) -> Column:
+    n = F.greatest(F.size(toks) - 1, F.lit(0))
+    return F.zip_with(
+        F.slice(toks, 1, n),
+        F.slice(toks, 2, n),
         lambda a, b: F.concat_ws(" ", a, b),
     )
-    # Materialize arrays once: per-element lambdas referencing an inline
-    # tokenizer expression re-evaluate it per element (planner blowup —
-    # see dedup.shingles_col).
-    base = docs.select(
-        "doc_id", toks.alias("toks"), sents.alias("sents")
-    ).select("doc_id", "toks", "sents", bigrams.alias("bigrams"))
 
-    n_tok = F.size("toks")
-    n_sent = F.size("sents")
-    n_bi = F.size("bigrams")
+
+def repetition_metric_cols(toks: Column, sents: Column, bigrams: Column) -> list[Column]:
+    """Expects MATERIALIZED array columns (plain refs, not inline tokenizer
+    expressions): per-element lambdas referencing an inline expression
+    re-evaluate it per element (planner blowup — see dedup.shingles_col)."""
+    n_tok = F.size(toks)
+    n_sent = F.size(sents)
+    n_bi = F.size(bigrams)
     dup_sent_frac = F.when(
-        n_sent > 0, 1.0 - F.size(F.array_distinct("sents")) / n_sent
+        n_sent > 0, 1.0 - F.size(F.array_distinct(sents)) / n_sent
     ).otherwise(0.0)
-    dup_chars = _dup_run_chars(F.array_sort("sents"))
+    dup_chars = _dup_run_chars(F.array_sort(sents))
     tot_chars = F.aggregate(
-        F.col("sents"), F.lit(0).cast("long"), lambda acc, s: acc + F.length(s).cast("long")
+        sents, F.lit(0).cast("long"), lambda acc, s: acc + F.length(s).cast("long")
     )
     dup_sent_char_frac = F.when(tot_chars > 0, dup_chars / tot_chars).otherwise(0.0)
-    top_word_frac = F.when(
-        n_tok > 0, _occurrence_max(F.col("toks")) / n_tok
-    ).otherwise(0.0)
-    top_bigram_frac = F.when(
-        n_bi > 0, _occurrence_max(F.col("bigrams")) / n_bi
-    ).otherwise(0.0)
-    return base.select(
-        "doc_id",
+    top_word_frac = F.when(n_tok > 0, _occurrence_max(toks) / n_tok).otherwise(0.0)
+    top_bigram_frac = F.when(n_bi > 0, _occurrence_max(bigrams) / n_bi).otherwise(0.0)
+    return [
         n_sent.cast("int").alias("n_sentences"),
         F.round(dup_sent_frac, 6).alias("dup_sent_frac"),
         F.round(dup_sent_char_frac, 6).alias("dup_sent_char_frac"),
         F.round(top_word_frac, 6).alias("top_word_frac"),
         F.round(top_bigram_frac, 6).alias("top_bigram_frac"),
+    ]
+
+
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    docs = docs.withColumn("text", rep_augmented(F.col("text"), F.col("doc_id")))
+    base = docs.select(
+        "doc_id",
+        tokens_col(F.col("text")).alias("toks"),
+        rep_sents_col(F.col("text")).alias("sents"),
+    ).select("doc_id", "toks", "sents", rep_bigrams_col(F.col("toks")).alias("bigrams"))
+    return base.select(
+        "doc_id",
+        *repetition_metric_cols(F.col("toks"), F.col("sents"), F.col("bigrams")),
     ).orderBy("doc_id")
 
 
@@ -689,9 +700,15 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
             F.coalesce("dup_chars", F.lit(0)).alias("dup_chars"),
-            F.round(
-                F.coalesce("dup_chars", F.lit(0)) / F.length("text"), 6
-            ).alias("dup_frac"),
+            # zero-length guard: Spark's non-ANSI x/0 is NULL while the
+            # oracle's would be a div-by-zero — both sides pin empty docs
+            # to 0.0 so parity cannot hinge on the corpus never shrinking
+            F.when(
+                F.length("text") > 0,
+                F.round(F.coalesce("dup_chars", F.lit(0)) / F.length("text"), 6),
+            )
+            .otherwise(0.0)
+            .alias("dup_frac"),
         )
         .orderBy("doc_id")
     )
@@ -736,7 +753,9 @@ WITH {_ISLANDS_CTES}, agg AS (
 SELECT d.doc_id,
        COALESCE(a.n_dup_spans, 0) AS n_dup_spans,
        COALESCE(a.dup_chars, 0) AS dup_chars,
-       ROUND(COALESCE(a.dup_chars, 0) * 1.0 / length(d.text), 6) AS dup_frac
+       CASE WHEN length(d.text) > 0
+            THEN ROUND(COALESCE(a.dup_chars, 0) * 1.0 / length(d.text), 6)
+            ELSE 0.0 END AS dup_frac
 FROM documents d LEFT JOIN agg a USING (doc_id)
 ORDER BY d.doc_id
 """
@@ -896,9 +915,11 @@ ORDER BY b.doc_id
 """
 
 
+# t_pii_scrub / t_repetition are driver-surfaced through
+# operators.profile.q_text_profile (one scan, all columns; the driver caps
+# correctness rows at 50 — see profile.py).  The standalone functions and
+# SQL stay exported for tests and pipeline composition.
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    "t_pii_scrub": q_pii_scrub,
-    "t_repetition": q_repetition,
     "t_corpus_filter": q_corpus_filter,
     "t_boilerplate_ngrams": q_boilerplate_ngrams,
     "dedup_decontaminate": q_decontaminate,
@@ -908,8 +929,6 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLE_SQL: Dict[str, str] = {
-    "t_pii_scrub": _PII_SCRUB_SQL,
-    "t_repetition": _REPETITION_SQL,
     "t_corpus_filter": _CORPUS_FILTER_SQL,
     "t_boilerplate_ngrams": _BOILERPLATE_SQL,
     "dedup_decontaminate": _DECONTAMINATE_SQL,

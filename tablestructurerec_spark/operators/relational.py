@@ -33,8 +33,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # shuffles on user_id (150 keys at sf0.01; at 100 TB this is the classic
 # sessionize — AQE splits skewed users).
 # ---------------------------------------------------------------------------
-def q_a1_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
+def _a1_frame(ev: DataFrame) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # exact microsecond gap — no truncation/timezone semantics to disagree on
     gap = F.expr("timestampdiff(MICROSECOND, prev_ts, ts)")
@@ -42,11 +41,13 @@ def q_a1_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.when(gap.isNull() | (gap > 600 * 1_000_000), 1).otherwise(0).alias("new_sess"),
     )
-    return (
-        flagged.groupBy("user_id")
-        .agg(F.sum("new_sess").cast("long").alias("n_sessions"))
-        .orderBy("user_id")
+    return flagged.groupBy("user_id").agg(
+        F.sum("new_sess").cast("long").alias("n_sessions")
     )
+
+
+def q_a1_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _a1_frame(_t(spark, sf_dir, "events")).orderBy("user_id")
 
 
 _A1_SQL = """
@@ -472,8 +473,7 @@ ORDER BY c_custkey
 _N_SALT = 16
 
 
-def q_salted_conv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
+def _a10_frame(ev: DataFrame) -> DataFrame:
     salt = F.pmod(F.xxhash64("event_id"), F.lit(_N_SALT))
     partial = (
         ev.groupBy(salt.alias("salt"), F.col("user_id"))
@@ -483,15 +483,27 @@ def q_salted_conv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("value").alias("pm"),
         )
     )
-    return (
-        partial.groupBy("user_id")
-        .agg(
-            F.sum("pc").cast("long").alias("n_events"),
-            F.round(F.sum("pv"), 2).alias("sum_value"),
-            F.round(F.max("pm"), 2).alias("max_value"),
-        )
-        .orderBy("user_id")
+    return partial.groupBy("user_id").agg(
+        F.sum("pc").cast("long").alias("n_events"),
+        F.round(F.sum("pv"), 2).alias("sum_value"),
+        F.round(F.max("pm"), 2).alias("max_value"),
     )
+
+
+def q_salted_conv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _a10_frame(_t(spark, sf_dir, "events")).orderBy("user_id")
+
+
+def q_a1_a10_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged driver entry (A1 + A10): per-user sessionization joined to the
+    salted two-stage aggregate.  Both legs keep their documented plan shapes
+    — A1's ordered-window + groupBy, A10's (salt, key) partial then merge —
+    and join on the tiny user_id key set (AQE broadcast at this
+    cardinality).  Merged for the same reason as ``profile.q_text_profile``:
+    the driver surfaces at most 50 correctness rows, and one hash over both
+    legs' columns pins each as hard as two rows did."""
+    ev = _t(spark, sf_dir, "events")
+    return _a1_frame(ev).join(_a10_frame(ev), "user_id").orderBy("user_id")
 
 
 _SALTED_SQL = """
@@ -504,9 +516,18 @@ GROUP BY user_id
 ORDER BY user_id
 """
 
+_A1_A10_SQL = f"""
+SELECT a.user_id, a.n_sessions, b.n_events, b.sum_value, b.max_value
+FROM ({_A1_SQL}) a JOIN ({_SALTED_SQL}) b ON a.user_id = b.user_id
+ORDER BY a.user_id
+"""
 
+
+# a1_sessionize / a10_salted_agg are driver-surfaced as the merged
+# a1_a10_user_stats entry (driver caps correctness rows at 50 — see
+# operators/profile.py); standalone functions stay exported.
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    "a1_sessionize": q_a1_sessionize,
+    "a1_a10_user_stats": q_a1_a10_user_stats,
     "w1_reading_order": q_w1_reading_order,
     "a5_gather": q_a5_gather,
     "a6_grid_merge": q_a6_grid_merge,
@@ -516,11 +537,10 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "w3_topk": q_w3_topk,
     "p1_iou": q_p1_iou,
     "m11_backfill": q_m11_backfill,
-    "a10_salted_agg": q_salted_conv_stats,
 }
 
 ORACLE_SQL: Dict[str, str] = {
-    "a1_sessionize": _A1_SQL,
+    "a1_a10_user_stats": _A1_A10_SQL,
     "w1_reading_order": _W1_SQL,
     "a5_gather": _A5_SQL,
     "a6_grid_merge": _A6_SQL,
@@ -530,5 +550,4 @@ ORACLE_SQL: Dict[str, str] = {
     "w3_topk": _W3_SQL,
     "p1_iou": _P1_SQL,
     "m11_backfill": _M11_SQL,
-    "a10_salted_agg": _SALTED_SQL,
 }

@@ -76,6 +76,11 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def salted_topk(df: DataFrame, group: str, order, k: int, salt_col: str, n_salts: int = _SALTS) -> DataFrame:
     """Exact per-group top-k without funneling any group through one task.
 
+    CONTRACT: ``order`` MUST be a total order within each group — include a
+    unique key (e.g. ``doc_id``) as the final order expression.  Under ties
+    ``row_number`` breaks them by partition-arrival order, so a non-total
+    order yields silently nondeterministic results across partitionings.
+
     Stage 1 ranks within (group, hash-salt) — ``n_salts``-way parallel —
     and keeps k; stage 2 ranks the ≤ n_salts·k survivors per group.  Exact
     for any total order: a group's global top-k rows are each in their own
@@ -102,7 +107,10 @@ def salted_topk(df: DataFrame, group: str, order, k: int, salt_col: str, n_salts
 # ---------------------------------------------------------------------------
 # BM25 top-k retrieval
 # ---------------------------------------------------------------------------
-def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _bm25_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 candidate scores (query_id, doc_id, s) BEFORE any top-k
+    truncation — exposed so callers (hybrid fusion) can apply their own
+    candidate filters ahead of ranking; ``s`` is the integer-scaled score."""
     docs = _t(spark, sf_dir, "documents")
     vocab = sorted({t for _, terms in _BM25_QUERIES for t in terms})
     # The posting lists a retrieval engine would read are exactly the query
@@ -166,7 +174,7 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (F.col("tf") * (_K1 + 1.0))
         / (F.col("tf") + _K1 * (1.0 - _B + _B * norm_dl))
     )
-    per_doc = (
+    return (
         scored_terms.select(
             "query_id",
             "doc_id",
@@ -175,6 +183,10 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("query_id", "doc_id")
         .agg(F.sum("c").alias("s"))
     )
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_doc = _bm25_per_doc(spark, sf_dir)
     order = [F.col("s").desc(), F.col("doc_id").asc()]
     return (
         salted_topk(per_doc, "query_id", order, _TOPK, salt_col="doc_id")
@@ -188,12 +200,13 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bm25_sql() -> str:
+def _bm25_scored_ctes() -> str:
+    """CTE chain ending in scored(query_id, doc_id, s) — the SQL twin of
+    :func:`_bm25_per_doc`, shared by the BM25 and hybrid oracles."""
     qvals = ", ".join(
         f"({qid}, '{t}')" for qid, terms in _BM25_QUERIES for t in terms
     )
-    return f"""
-WITH toklists AS (
+    return f"""toklists AS (
   SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
 ), dl AS (
   SELECT doc_id, len(toks) AS dl FROM toklists
@@ -219,7 +232,12 @@ cand AS (
   CROSS JOIN stats s
 ), scored AS (
   SELECT query_id, doc_id, SUM(c) AS s FROM contrib GROUP BY query_id, doc_id
-), ranked AS (
+)"""
+
+
+def _bm25_sql() -> str:
+    return f"""
+WITH {_bm25_scored_ctes()}, ranked AS (
   SELECT query_id, doc_id, s,
          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY s DESC, doc_id) AS rank
   FROM scored
@@ -307,10 +325,10 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores.
 
     Query q's vector is ``embeddings[vec_id == q]`` (deterministic, no
-    external data).  The query's own doc is excluded from BOTH lists, with
-    the lexical survivors re-ranked post-exclusion, so RRF consumes each
-    list's true candidate ranks (dropping it from one side only would
-    under-score it as "absent from the vector list" yet still surface it).
+    external data).  The query's own doc is excluded from BOTH candidate
+    sets BEFORE top-k, so each side fuses its true top-10 of non-self docs
+    (excluding after truncation would shrink a list to 9 whenever the self
+    doc held a slot, and the true 10th could never enter fusion).
     The vector side here is the brute-force baseline — broadcast query
     vectors, map-side cosine, :func:`salted_topk` — with the IVF/LSH
     variants in ``operators/similarity`` as the scale path.  Cosine is
@@ -324,20 +342,18 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .similarity import _dot, _norm
 
     qids = [qid for qid, _ in _BM25_QUERIES]
-    # exclude the query's own doc from BOTH lists, and re-rank the lexical
-    # survivors so RRF consumes each list's post-exclusion ranks — dropping
-    # it from one side only would under-score it (absent from the vector
-    # list) while still surfacing it via its lexical rank
-    relex = Window.partitionBy("query_id").orderBy("rank")
-    lex = (
-        q_bm25_topk(spark, sf_dir)
-        .where(F.col("doc_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "doc_id",
-            F.row_number().over(relex).cast("int").alias("r_lex"),
-        )
+    # exclude the query's own doc from BOTH candidate sets BEFORE top-k
+    # (same rule both sides) so each list is a true top-10 of non-self docs
+    lex_cand = _bm25_per_doc(spark, sf_dir).where(
+        F.col("doc_id") != F.col("query_id")
     )
+    lex = salted_topk(
+        lex_cand,
+        "query_id",
+        [F.col("s").desc(), F.col("doc_id").asc()],
+        _TOPK,
+        salt_col="doc_id",
+    ).select("query_id", "doc_id", F.col("rank").cast("int").alias("r_lex"))
     emb = _t(spark, sf_dir, "embeddings")
     qvecs = emb.where(F.col("vec_id").isin(qids)).select(
         F.col("vec_id").cast("int").alias("query_id"), F.col("embedding").alias("qv")
@@ -388,15 +404,16 @@ def _hybrid_sql() -> str:
 
     qid_list = ", ".join(str(qid) for qid, _ in _BM25_QUERIES)
     return f"""
-WITH lex AS (
+WITH {_bm25_scored_ctes()}, lex AS (
   SELECT query_id, doc_id,
-         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rank) AS r_lex
-  FROM ({_bm25_sql()})
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY s DESC, doc_id) AS r_lex
+  FROM scored
   WHERE doc_id <> query_id
+  QUALIFY r_lex <= {_TOPK}
 ), qv AS (
   SELECT CAST(vec_id AS INT) AS query_id, embedding AS qv
   FROM embeddings WHERE vec_id IN ({qid_list})
-), scored AS (
+), vscored AS (
   SELECT q.query_id, e.vec_id AS doc_id,
          ROUND({_cos_sql('e.embedding', 'q.qv')}, 6) AS cos
   FROM embeddings e CROSS JOIN qv q
@@ -404,7 +421,7 @@ WITH lex AS (
 ), vec AS (
   SELECT query_id, doc_id,
          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, doc_id) AS r_vec
-  FROM scored
+  FROM vscored
   QUALIFY r_vec <= {_TOPK}
 ), fused AS (
   SELECT query_id, doc_id,

@@ -46,15 +46,18 @@ _TOKENS_SQL = tokens_sql()
 # ---------------------------------------------------------------------------
 # token counting
 # ---------------------------------------------------------------------------
+def token_count_cols(toks: Column, text: Column) -> list[Column]:
+    return [
+        F.size(toks).cast("int").alias("n_tokens"),
+        F.length(text).cast("int").alias("n_chars_actual"),
+        F.size(F.array_distinct(toks)).cast("int").alias("n_unique_tokens"),
+    ]
+
+
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     toks = tokens_col(F.col("text"))
-    return docs.select(
-        "doc_id",
-        F.size(toks).cast("int").alias("n_tokens"),
-        F.length("text").cast("int").alias("n_chars_actual"),
-        F.size(F.array_distinct(toks)).cast("int").alias("n_unique_tokens"),
-    ).orderBy("doc_id")
+    return docs.select("doc_id", *token_count_cols(toks, F.col("text"))).orderBy("doc_id")
 
 
 _TOKEN_COUNT_SQL = f"""
@@ -77,9 +80,8 @@ _MARKERS = {
 }
 
 
-def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    low = F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")
+def lang_id_cols(text: Column) -> list[Column]:
+    low = F.regexp_replace(F.lower(text), "[^a-z0-9]+", " ")
     hits = {
         lang: F.size(F.regexp_extract_all(low, F.lit(rf"\b{pat}\b"), F.lit(0))).cast("int")
         for lang, pat in _MARKERS.items()
@@ -91,13 +93,17 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(hits["es"] >= hits["zh"], F.lit("es"))
         .otherwise(F.lit("zh"))
     )
-    return docs.select(
-        "doc_id",
+    return [
         hits["en"].alias("en_hits"),
         hits["es"].alias("es_hits"),
         hits["zh"].alias("zh_hits"),
         pred.alias("pred_lang"),
-    ).orderBy("doc_id")
+    ]
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", *lang_id_cols(F.col("text"))).orderBy("doc_id")
 
 
 def _hits_sql(pat: str) -> str:
@@ -124,15 +130,13 @@ ORDER BY doc_id
 # ---------------------------------------------------------------------------
 # quality scoring — length / punctuation / stopword / repetition cues
 # ---------------------------------------------------------------------------
-def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    toks = tokens_col(F.col("text"))
+def quality_cols(toks: Column, text: Column) -> list[Column]:
     n_tok = F.size(toks)
-    n_chars = F.length("text")
+    n_chars = F.length(text)
     uniq_ratio = F.when(n_tok > 0, F.size(F.array_distinct(toks)) / n_tok).otherwise(0.0)
     punct_ratio = F.when(
         n_chars > 0,
-        F.size(F.regexp_extract_all("text", F.lit(r"[^\w\s]"), F.lit(0))) / n_chars,
+        F.size(F.regexp_extract_all(text, F.lit(r"[^\w\s]"), F.lit(0))) / n_chars,
     ).otherwise(0.0)
     stop_ratio = F.when(
         n_tok > 0,
@@ -145,13 +149,18 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         + (1.0 - F.least(punct_ratio * 10.0, F.lit(1.0))) * 0.2
         + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.1
     )
-    return docs.select(
-        "doc_id",
+    return [
         F.round(uniq_ratio, 6).alias("uniq_ratio"),
         F.round(stop_ratio, 6).alias("stop_ratio"),
         F.round(mean_len, 6).alias("mean_token_len"),
         F.round(score, 6).alias("quality"),
-    ).orderBy("doc_id")
+    ]
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    return docs.select("doc_id", *quality_cols(toks, F.col("text"))).orderBy("doc_id")
 
 
 _QUALITY_SQL = f"""
@@ -191,17 +200,20 @@ ORDER BY doc_id
 _WIN, _STRIDE = 16, 8
 
 
-def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    n_win = F.floor((F.length("text") - _WIN) / _STRIDE).cast("int")
+def fingerprint_col(text: Column) -> Column:
+    n_win = F.floor((F.length(text) - _WIN) / _STRIDE).cast("int")
     windows = F.transform(
         F.sequence(F.lit(0), n_win),
-        lambda i: F.md5(F.substring(F.col("text"), F.lit(1) + i * _STRIDE, _WIN)),
+        lambda i: F.md5(F.substring(text, F.lit(1) + i * _STRIDE, _WIN)),
     )
-    fp = F.when(F.length("text") >= _WIN, F.array_min(windows)).otherwise(
-        F.md5(F.col("text"))
-    )
-    return docs.select("doc_id", fp.alias("fingerprint")).orderBy("doc_id")
+    return F.when(F.length(text) >= _WIN, F.array_min(windows)).otherwise(
+        F.md5(text)
+    ).alias("fingerprint")
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint_col(F.col("text"))).orderBy("doc_id")
 
 
 _FINGERPRINT_SQL = f"""
@@ -260,18 +272,14 @@ FROM agg ORDER BY source
 """
 
 
+# t_token_count / t_lang_id / t_quality_score / t_fingerprint are driver-
+# surfaced through operators.profile.q_text_profile (one scan, all columns;
+# the driver caps correctness rows at 50 — see profile.py).  The standalone
+# q_* functions and SQL stay exported for tests and pipeline composition.
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    "t_token_count": q_token_count,
-    "t_lang_id": q_lang_id,
-    "t_quality_score": q_quality_score,
-    "t_fingerprint": q_fingerprint,
     "t_length_quantiles": q_length_quantiles,
 }
 
 ORACLE_SQL: Dict[str, str] = {
-    "t_token_count": _TOKEN_COUNT_SQL,
-    "t_lang_id": _LANG_ID_SQL,
-    "t_quality_score": _QUALITY_SQL,
-    "t_fingerprint": _FINGERPRINT_SQL,
     "t_length_quantiles": _LENGTH_QUANTILES_SQL,
 }
