@@ -221,6 +221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     operators).  Every callable takes (spark, sf_dir) → DataFrame with
     columns aliased identically to the oracle SQL."""
     from tablestructurerec_spark.operators import (
+        bpe,
         dedup,
         hygiene,
         profile,
@@ -363,6 +364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(relational.QUERIES)
     out.update(profile.QUERIES)
     out.update(textstats.QUERIES)
+    out.update(bpe.QUERIES)
     out.update(hygiene.QUERIES)
     out.update(sampling.QUERIES)
     out.update(dedup.QUERIES)
@@ -374,6 +376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     from tablestructurerec_spark.operators import (
+        bpe,
         dedup,
         hygiene,
         profile,
@@ -396,6 +399,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(relational.ORACLE_SQL)
     out.update(profile.ORACLE_SQL)
     out.update(textstats.ORACLE_SQL)
+    out.update(bpe.ORACLE_SQL)
     out.update(hygiene.ORACLE_SQL)
     out.update(sampling.ORACLE_SQL)
     out.update(dedup.ORACLE_SQL)

@@ -202,15 +202,23 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pack_docs(docs)
 
 
-def _pack_docs(docs: DataFrame) -> DataFrame:
+def _pack_docs(docs: DataFrame, budget_col: str | None = None) -> DataFrame:
     """The packing fold over any (doc_id, text, ...) frame — shared by the
-    standalone query and the end-to-end pipeline composition."""
+    standalone query and the end-to-end pipeline composition.
+
+    ``budget_col`` selects the size column the fold consumes: default is the
+    regex token count; pass e.g. a BPE count column (operators/bpe.py) to
+    budget in tokenizer tokens — real pipelines do (the fold itself is
+    size-agnostic)."""
     import pandas as pd
 
+    size = (
+        F.col(budget_col) if budget_col else F.size(tokens_col(F.col("text")))
+    )
     sized = docs.select(
         "doc_id",
         F.pmod(F.col("doc_id"), F.lit(_PACK_SHARDS)).cast("int").alias("shard"),
-        F.size(tokens_col(F.col("text"))).alias("n_tokens"),
+        size.alias("n_tokens"),
     )
 
     def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
