@@ -361,6 +361,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["reocr_merge"] = reocr_merge
 
+    def flagship_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """S4 visual-debug sink: per-table SVG overlay (rect + row/col
+        labels per cell) — the VisTable.plot_rec_box_with_logic_info
+        analogue (ref lineless_table_rec/utils/utils.py:405-452) as a
+        deterministic string column."""
+        _ship_package(spark)
+        from tablestructurerec_spark.plans.extract import extract_cells
+        from tablestructurerec_spark.plans.overlay import svg_overlay
+
+        df = _transcripts_from_documents(spark, sf_dir)
+        return svg_overlay(extract_cells(df)).orderBy(
+            "conv_id", "turn_idx", "table_idx"
+        )
+
+    out["flagship_overlay"] = flagship_overlay
+
     out.update(relational.QUERIES)
     out.update(profile.QUERIES)
     out.update(textstats.QUERIES)
@@ -396,6 +412,7 @@ def oracle_sql() -> dict[str, str]:
     out["flagship_cells"] = _flagship_cells_oracle()
     out["teds_eval"] = _teds_oracle()
     out["reocr_merge"] = REOCR_MERGE_ORACLE
+    out["flagship_overlay"] = _overlay_oracle()
     out.update(relational.ORACLE_SQL)
     out.update(profile.ORACLE_SQL)
     out.update(textstats.ORACLE_SQL)
@@ -513,6 +530,36 @@ SELECT conv_id, turn_idx, table_idx, table_kind, cell_id,
        r0 AS row_start, r1 AS row_end, c0 AS col_start, c1 AS col_end
 FROM allcells
 ORDER BY conv_id, turn_idx, table_idx, cell_id
+"""
+
+
+def _overlay_oracle() -> str:
+    """SVG twin built ON TOP of the flagship_cells oracle (shared geometry,
+    zero drift); fragments concatenated in cell_id order via string_agg."""
+    frag = (
+        """'<rect x="' || CAST(ROUND(xmin) AS INT) || '" y="' || CAST(ROUND(ymin) AS INT)"""
+        """ || '" width="' || CAST(ROUND(xmax - xmin) AS INT)"""
+        """ || '" height="' || CAST(ROUND(ymax - ymin) AS INT)"""
+        """ || '" fill="none" stroke="red" stroke-width="1"/>'"""
+        """ || '<text x="' || CAST(ROUND(xmin + 3) AS INT) || '" y="' || CAST(ROUND(ymin + 8) AS INT)"""
+        """ || '" font-size="9" fill="red">row: ' || row_start || '-' || row_end || '</text>'"""
+        """ || '<text x="' || CAST(ROUND(xmin + 3) AS INT) || '" y="' || CAST(ROUND(ymin + 18) AS INT)"""
+        """ || '" font-size="9" fill="red">col: ' || col_start || '-' || col_end || '</text>'"""
+    )
+    return f"""
+WITH cells AS ({_flagship_cells_oracle()}),
+frags AS (
+  SELECT conv_id, turn_idx, table_idx, cell_id, xmax, ymax, {frag} AS frag
+  FROM cells
+)
+SELECT conv_id, turn_idx, table_idx, CAST(COUNT(*) AS INT) AS n_cells,
+       '<svg xmlns="http://www.w3.org/2000/svg" width="'
+       || CAST(ROUND(MAX(xmax) + 100) AS INT)
+       || '" height="' || CAST(ROUND(MAX(ymax)) AS INT) || '">'
+       || string_agg(frag, '' ORDER BY cell_id) || '</svg>' AS svg
+FROM frags
+GROUP BY conv_id, turn_idx, table_idx
+ORDER BY conv_id, turn_idx, table_idx
 """
 
 
