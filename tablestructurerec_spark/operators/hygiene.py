@@ -761,6 +761,68 @@ ORDER BY d.doc_id
 """
 
 
+def _span_clusters(docs: DataFrame) -> DataFrame:
+    """``t_dup_spans`` islands, attributed to cross-document clusters.
+
+    Cluster key = md5 of the island's own text: two documents carrying the
+    SAME repeated block yield byte-identical islands, so content hashing
+    clusters them without any pairwise comparison or iterative CC — one
+    groupBy(cluster_id) with map-side combine, AQE-splittable if one
+    boilerplate block dominates the corpus.  (Partially-overlapping islands
+    get distinct clusters by design: removal policy acts on exact repeated
+    blocks.)  ``keep_first`` marks the cluster's (doc_id, s0)-minimal
+    member via an integer arg-min — ``doc_id * 2^32 + s0`` — so both
+    keep-first and remove-all stripping policies are a filter away, the
+    remaining piece of Lee et al. substring dedup (the prior
+    ``q_strip_repeated`` is unconditionally remove-all).
+    """
+    spans = _dup_islands(docs).join(docs.select("doc_id", "text"), "doc_id")
+    spans = spans.select(
+        "doc_id",
+        "s0",
+        "e1",
+        F.md5(F.expr(f"substring(text, s0 + 1, e1 - s0)")).alias("cluster_id"),
+    )
+    key = F.col("doc_id").cast("long") * F.lit(1 << 32).cast("long") + F.col("s0")
+    clusters = spans.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_members"),
+        F.min(key).alias("first_key"),
+    )
+    return (
+        spans.join(clusters, "cluster_id")
+        .select(
+            "doc_id",
+            "s0",
+            "e1",
+            "cluster_id",
+            "n_members",
+            (key == F.col("first_key")).alias("keep_first"),
+        )
+        .orderBy("doc_id", "s0")
+    )
+
+
+def q_dup_span_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _span_clusters(_t(spark, sf_dir, "documents"))
+
+
+_SPAN_CLUSTERS_SQL = f"""
+WITH {_ISLANDS_CTES}, spans AS (
+  SELECT m.doc_id, m.s0, m.e1,
+         md5(substr(d.text, m.s0 + 1, m.e1 - m.s0)) AS cluster_id
+  FROM merged m JOIN documents d USING (doc_id)
+), cl AS (
+  SELECT cluster_id, CAST(COUNT(*) AS INT) AS n_members,
+         MIN(doc_id * 4294967296 + s0) AS first_key
+  FROM spans GROUP BY cluster_id
+)
+SELECT s.doc_id, s.s0, s.e1, s.cluster_id, c.n_members,
+       (s.doc_id * 4294967296 + s.s0) = c.first_key AS keep_first
+FROM spans s JOIN cl c USING (cluster_id)
+ORDER BY s.doc_id, s.s0
+"""
+
+
 def q_strip_repeated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The transform ``t_dup_spans`` is the report for: rebuild each
     document's text with every corpus-repeated span cut out (boilerplate
@@ -924,6 +986,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_boilerplate_ngrams": q_boilerplate_ngrams,
     "dedup_decontaminate": q_decontaminate,
     "t_dup_spans": q_dup_spans,
+    "t_dup_span_clusters": q_dup_span_clusters,
     "t_strip_repeated": q_strip_repeated,
     "t_adaptive_filter": q_adaptive_length_filter,
 }
@@ -933,6 +996,7 @@ ORACLE_SQL: Dict[str, str] = {
     "t_boilerplate_ngrams": _BOILERPLATE_SQL,
     "dedup_decontaminate": _DECONTAMINATE_SQL,
     "t_dup_spans": _DUP_SPANS_SQL,
+    "t_dup_span_clusters": _SPAN_CLUSTERS_SQL,
     "t_strip_repeated": _STRIP_REPEATED_SQL,
     "t_adaptive_filter": _ADAPTIVE_FILTER_SQL,
 }

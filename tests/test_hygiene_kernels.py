@@ -164,3 +164,35 @@ def test_strip_repeated_removes_planted_boilerplate(spark, tmp_path):
             # that never happens, so it must pass through byte-identical
             assert out[i].clean_text == text, i
             assert out[i].removed_chars == 0, i
+
+
+def test_span_clusters_planted_multidoc(spark):
+    """Three docs share one exact 44-char block: one cluster, three members,
+    exactly one keep_first (the (doc_id, s0)-minimal one)."""
+    from tablestructurerec_spark.operators.hygiene import _span_clusters
+
+    block = "this shared boilerplate block repeats often!"  # 44 chars, spaced
+    assert len(block) == 44
+    mk = lambda i, pre: (i, f"{pre} {block} tail unique to doc {i} " + "x" * i)
+    docs = spark.createDataFrame(
+        [
+            mk(3, "zebra opening words here"),
+            mk(7, "different lead in text ok"),
+            mk(11, "third document preamble aa"),
+            (20, "a wholly unique document with no repeats at all " + "y" * 40),
+        ],
+        "doc_id long, text string",
+    )
+    out = _span_clusters(docs).toPandas()
+    assert set(out["doc_id"]) == {3, 7, 11}  # the unique doc emits nothing
+    # the shared block resolves to one cluster covering all three docs
+    top = out[out["n_members"] == 3]
+    assert len(top) == 3 and top["cluster_id"].nunique() == 1
+    keepers = top[top["keep_first"]]
+    assert len(keepers) == 1 and keepers.iloc[0]["doc_id"] == 3
+    # spans carry identical content (the cluster key's definition)
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    contents = {
+        texts[r.doc_id][int(r.s0) : int(r.e1)] for _, r in top.iterrows()
+    }
+    assert len(contents) == 1 and block in contents.pop()
