@@ -9,6 +9,7 @@
 from __future__ import annotations
 
 import argparse
+import os
 
 from pyspark.sql import SparkSession
 
@@ -19,9 +20,17 @@ def main() -> None:
     ap.add_argument("--output", required=True)
     ap.add_argument("--buckets", type=int, default=64)
     ap.add_argument("--synthetic-convs", type=int, default=0)
+    ap.add_argument(
+        "--checkpoint-dir",
+        default=os.environ.get("SPARK_GRAFT_CKPT_DIR", ""),
+        help="durable checkpoint storage (cluster profile); iterative "
+        "operators pick reliable checkpoint() when set",
+    )
     args = ap.parse_args()
 
     spark = SparkSession.builder.appName("tsr-extract").getOrCreate()
+    if args.checkpoint_dir:
+        spark.sparkContext.setCheckpointDir(args.checkpoint_dir)
 
     from tablestructurerec_spark.plans.lineage import run_with_lineage
     from tablestructurerec_spark.sources.synthetic import synth_transcripts

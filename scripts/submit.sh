@@ -15,6 +15,11 @@ for a in "$@"; do
   if [[ $seen_sep -eq 0 ]]; then SPARK_ARGS+=("$a"); else APP_ARGS+=("$a"); fi
 done
 
+# cluster durability profile: durable checkpoint storage for iterative
+# operators (dedup_components flips to reliable checkpoint() when set);
+# point this at shared storage (HDFS/S3) on a real cluster
+export SPARK_GRAFT_CKPT_DIR="${SPARK_GRAFT_CKPT_DIR:-/tmp/tsr-checkpoints}"
+
 exec spark-submit \
   --py-files "$ZIP" \
   --conf spark.sql.adaptive.enabled=true \

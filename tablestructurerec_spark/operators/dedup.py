@@ -414,7 +414,7 @@ ORDER BY doc_a, doc_b
 # duplicate components: pair list → groups → representative
 # ---------------------------------------------------------------------------
 def q_dedup_components(
-    spark: SparkSession, sf_dir: str, reliable_checkpoint: bool = False
+    spark: SparkSession, sf_dir: str, reliable_checkpoint: bool | None = None
 ) -> DataFrame:
     """Connected components over the MinHash-LSH candidate pairs — the last
     mile of a dedup pipeline: every document in a dup group gets the group's
@@ -432,9 +432,16 @@ def q_dedup_components(
     ``reliable_checkpoint=True`` truncates the iterative lineage through the
     configured ``spark.sparkContext.setCheckpointDir`` storage instead of
     executor-local blocks: on a real cluster an executor loss mid-iteration
-    then costs a re-read, not a job failure.  Local default keeps the
-    cheaper localCheckpoint.
+    then costs a re-read, not a job failure.  Default ``None`` follows the
+    session's cluster profile: reliable iff a checkpoint dir is configured
+    (``session.get_spark(checkpoint_dir=...)`` / ``SPARK_GRAFT_CKPT_DIR``,
+    which the spark-submit launcher sets) — local bench sessions have none
+    and keep the cheaper localCheckpoint.
     """
+    if reliable_checkpoint is None:
+        from tablestructurerec_spark.session import has_reliable_checkpoint
+
+        reliable_checkpoint = has_reliable_checkpoint(spark)
 
     def barrier(df: DataFrame) -> DataFrame:
         return df.checkpoint() if reliable_checkpoint else df.localCheckpoint()
