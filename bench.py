@@ -113,6 +113,85 @@ def _warm_python_workers(spark) -> None:
     df.mapInPandas(_noop, df.schema).count()
 
 
+def _replicate_corpus(spark, mult: int, out_dir: str) -> None:
+    """Materialize a deterministic ``mult``-fold corpus from $SPARK_GRAFT_SF_DIR
+    into ``out_dir`` (documents/events/embeddings scaled with shifted keys,
+    replica text " repN"-perturbed into near-duplicates; the small TPC-ish
+    dims copied verbatim).  Usage:
+
+        python bench.py --replicate 10 --out /tmp/tsr-sf1
+        SPARK_GRAFT_SF_DIR=/tmp/tsr-sf1 python bench.py
+
+    This is the sf1 bench point: no external data, pure replication of the
+    driver-generated tables."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from tablestructurerec_spark.sources.read import read_table
+
+    os.makedirs(out_dir, exist_ok=True)
+    reps = spark.range(mult).withColumnRenamed("id", "rep")
+
+    docs = read_table(spark, SF_DIR, "documents")
+    stride = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    (
+        docs.crossJoin(reps)
+        .select(
+            (F.col("doc_id") + F.col("rep") * stride).alias("doc_id"),
+            # rep 0 byte-identical (query-id literals keep meaning); others
+            # perturbed to near-duplicates — realistic dup structure
+            F.when(F.col("rep") == 0, F.col("text"))
+            .otherwise(F.concat("text", F.lit(" rep"), F.col("rep").cast("string")))
+            .alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/documents.parquet")
+    )
+
+    ev = read_table(spark, SF_DIR, "events")
+    m = ev.agg(F.max("event_id"), F.max("user_id")).collect()[0]
+    (
+        ev.crossJoin(reps)
+        .select(
+            (F.col("event_id") + F.col("rep") * (m[0] + 1)).alias("event_id"),
+            "ts",
+            (F.col("user_id") + F.col("rep") * (m[1] + 1)).alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        )
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/events.parquet")
+    )
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    stride = emb.agg(F.max("vec_id")).collect()[0][0] + 1
+    (
+        emb.crossJoin(reps)
+        .select(
+            (F.col("vec_id") + F.col("rep") * stride).alias("vec_id"),
+            "embedding",
+            "label",
+        )
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/embeddings.parquet")
+    )
+
+    for t in ("region", "nation", "customer", "supplier", "part", "orders", "lineitem"):
+        src = f"{SF_DIR}/{t}.parquet"
+        if os.path.exists(src):
+            dst = f"{out_dir}/{t}.parquet"
+            if os.path.isdir(src):
+                shutil.copytree(src, dst, dirs_exist_ok=True)
+            else:
+                shutil.copy(src, dst)
+    print(f"replicated x{mult} -> {out_dir}")
+
+
 def main() -> None:
     from tablestructurerec_spark.session import get_spark
 
@@ -121,6 +200,15 @@ def main() -> None:
 
     if "--scaling-only" in sys.argv:
         _scaling_report(sf)
+        return
+
+    if "--replicate" in sys.argv:
+        mult = int(sys.argv[sys.argv.index("--replicate") + 1])
+        out = sys.argv[sys.argv.index("--out") + 1]
+        spark = get_spark(app="tsr-replicate", cpus=CPUS)
+        spark.sparkContext.setLogLevel("ERROR")
+        _replicate_corpus(spark, mult, out)
+        spark.stop()
         return
 
     spark = get_spark(app="tsr-bench", cpus=CPUS)
