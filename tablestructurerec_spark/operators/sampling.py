@@ -136,9 +136,20 @@ ORDER BY doc_id
 # ---------------------------------------------------------------------------
 def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
+    return _domain_mix(docs)
+
+
+def _domain_mix(docs: DataFrame, budget_col: str | None = None) -> DataFrame:
+    """Temperature mix over any (lang, text, ...) frame.  ``budget_col``
+    picks the token-budget column (default: regex token count; pass a BPE
+    count column from operators/bpe.py to mix in tokenizer tokens —
+    same knob as ``_pack_docs``)."""
+    size = (
+        F.col(budget_col) if budget_col else F.size(tokens_col(F.col("text")))
+    )
     per_lang = docs.groupBy("lang").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum(F.size(tokens_col(F.col("text")))).cast("long").alias("n_tokens"),
+        F.sum(size).cast("long").alias("n_tokens"),
     )
     # post-agg frame has #langs rows: the unpartitioned window is safe
     w = Window.partitionBy()
