@@ -1,4 +1,4 @@
-"""Combined per-document text profile — six per-doc operators, ONE scan.
+"""Combined per-document text profile — seven per-doc operators, ONE scan.
 
 Why this exists: the round-2 driver surfaced exactly 50 correctness rows for
 53 registered queries (CORRECTNESS_r02.json cut the last three in insertion
@@ -12,12 +12,12 @@ inventory inside the driver's 50-row window without dropping any operator
 from the hard signal.
 
 The combined plan is also the *better* plan: one parquet scan computes all
-22 metric columns (the separate queries each re-scanned the table).  The
+28 metric columns (the separate queries each re-scanned the table).  The
 standalone q_* functions remain exported for tests, bench history, and
 pipeline composition; ``tests/test_text_profile.py`` asserts this query is
-column-identical to joining the six originals.
+column-identical to joining the seven originals.
 
-The oracle is deliberately NOT retranscribed: it joins the six original
+The oracle is deliberately NOT retranscribed: it joins the seven original
 oracle SQL strings as subqueries on doc_id, so the combined check inherits
 the originals byte-for-byte (zero transcription drift).
 """
@@ -42,20 +42,23 @@ from .hygiene import (
 from .textstats import (
     _FINGERPRINT_SQL,
     _LANG_ID_SQL,
+    _LANG_NGRAM_SQL,
     _QUALITY_SQL,
     _TOKEN_COUNT_SQL,
     fingerprint_col,
     lang_id_cols,
+    lang_ngram_cols,
     quality_cols,
     token_count_cols,
     tokens_col,
+    trigrams_col,
 )
 
 __all__ = ["QUERIES", "ORACLE_SQL", "q_text_profile"]
 
 
 def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One scan, one projection pipeline, 22 metric columns, no shuffle
+    """One scan, one projection pipeline, 28 metric columns, no shuffle
     (except the presentation sort).  Array columns (toks/sents/bigrams) are
     materialized in intermediate projections so per-element lambdas never
     re-evaluate the tokenizer (see dedup.shingles_col).  At 100 TB this is
@@ -79,6 +82,7 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             tokens_col(F.col("text")).alias("toks"),
             tokens_col(F.col("rep_text")).alias("rep_toks"),
             rep_sents_col(F.col("rep_text")).alias("sents"),
+            trigrams_col(F.col("text")).alias("tris"),
         )
         .select("*", rep_bigrams_col(F.col("rep_toks")).alias("bigrams"))
     )
@@ -86,6 +90,7 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         *token_count_cols(F.col("toks"), F.col("text")),
         *lang_id_cols(F.col("text")),
+        *lang_ngram_cols(F.col("tris")),
         *quality_cols(F.col("toks"), F.col("text")),
         fingerprint_col(F.col("text")),
         *pii_metric_cols(F.col("aug")),
@@ -97,6 +102,7 @@ _TEXT_PROFILE_SQL = f"""
 SELECT tc.doc_id,
        tc.n_tokens, tc.n_chars_actual, tc.n_unique_tokens,
        li.en_hits, li.es_hits, li.zh_hits, li.pred_lang,
+       ng.ng_en, ng.ng_es, ng.ng_de, ng.ng_fr, ng.ng_zh, ng.pred_lang_ngram,
        qs.uniq_ratio, qs.stop_ratio, qs.mean_token_len, qs.quality,
        fp.fingerprint,
        pi.n_emails, pi.n_ips, pi.n_phones, pi.redacted_len, pi.redacted_md5,
@@ -104,6 +110,7 @@ SELECT tc.doc_id,
        re.top_word_frac, re.top_bigram_frac
 FROM ({_TOKEN_COUNT_SQL}) tc
 JOIN ({_LANG_ID_SQL}) li ON tc.doc_id = li.doc_id
+JOIN ({_LANG_NGRAM_SQL}) ng ON tc.doc_id = ng.doc_id
 JOIN ({_QUALITY_SQL}) qs ON tc.doc_id = qs.doc_id
 JOIN ({_FINGERPRINT_SQL}) fp ON tc.doc_id = fp.doc_id
 JOIN ({_PII_SCRUB_SQL}) pi ON tc.doc_id = pi.doc_id

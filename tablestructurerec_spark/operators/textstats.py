@@ -128,6 +128,142 @@ ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# language ID — hashed char-ngram linear scorer (Cavnar–Trenkle profiles)
+# ---------------------------------------------------------------------------
+# Rank-ordered character-trigram profiles per language (Cavnar & Trenkle
+# 1994, "N-Gram-Based Text Categorization"): the classic public langid
+# method — score(text, lang) = Σ_trigram weight(rank) · count(trigram).
+# Profiles are the well-known most-frequent trigrams of each language over
+# a lowercased [a-z0-9 ] alphabet (zh via pinyin romanization), weights are
+# inverse rank (20 … 1).  This upgrades the 5-marker-word heuristic
+# (`lang_id_cols` above) to a real n-gram model while staying a pure
+# Catalyst scan+project with an exact integer-score SQL oracle: the doc's
+# padded trigram array is built ONCE, then each language is one
+# aggregate-with-map-lookup over it — no per-language string pass, no
+# shuffle, no Python.
+_NGRAM_PROFILES: dict[str, list[str]] = {
+    "en": [" th", "the", "he ", "ing", "ng ", " an", "and", "nd ", " of",
+           "of ", "ion", "on ", "ed ", " to", "to ", "er ", "ent", " in",
+           "in ", "at "],
+    "es": [" de", "de ", " la", "la ", "os ", "as ", " qu", "que", "ue ",
+           " el", "el ", " en", "en ", "ion", "on ", "ar ", "nte", "ent",
+           " co", "es "],
+    "de": ["er ", "en ", " de", "der", "ie ", " di", "die", "ich", "ch ",
+           "sch", "che", "und", " un", "nd ", "ung", "ein", " ei", "ten",
+           "cht", "ber"],
+    "fr": [" de", "de ", " le", "le ", "es ", "ent", "nt ", " la", "la ",
+           "e d", "ion", "on ", "re ", " et", "et ", " qu", "que", "ue ",
+           "les", "our"],
+    "zh": ["de ", "shi", "hi ", " sh", "ang", "ng ", "ian", "an ", " zh",
+           "zhi", "eng", "ong", " bu", "bu ", "uo ", " yi", "yi ", "ao ",
+           " ma", "ma "],
+}
+_NGRAM_LANGS = list(_NGRAM_PROFILES)  # fixed priority order for tie-breaks
+
+
+def _ngram_weights(lang: str) -> list[tuple[str, int]]:
+    prof = _NGRAM_PROFILES[lang]
+    return [(tg, len(prof) - i) for i, tg in enumerate(prof)]
+
+
+def trigrams_col(text: Column) -> Column:
+    """Padded character-trigram array over the normalized text (lower,
+    non-alnum runs → single space, one space of padding each side)."""
+    p = F.concat(
+        F.lit(" "), F.regexp_replace(F.lower(text), "[^a-z0-9]+", " "), F.lit(" ")
+    )
+    n = F.length(p)
+    return F.when(
+        n >= 3,
+        F.transform(F.sequence(F.lit(1), n - 2), lambda i: p.substr(i, F.lit(3))),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def lang_ngram_cols(tris: Column) -> list[Column]:
+    """Per-language integer profile scores + argmax prediction over a
+    trigram array (from :func:`trigrams_col`).  Integer scores keep the
+    oracle hash-exact; ties break on the fixed `_NGRAM_LANGS` order."""
+    def _scorer(m: Column):
+        return lambda acc, t: acc + F.coalesce(F.try_element_at(m, t), F.lit(0))
+
+    scores: dict[str, Column] = {}
+    for lang in _NGRAM_LANGS:
+        pairs = _ngram_weights(lang)
+        m = F.create_map(
+            *[c for tg, w in pairs for c in (F.lit(tg), F.lit(w))]
+        )
+        scores[lang] = F.aggregate(tris, F.lit(0), _scorer(m)).cast("int")
+    pred = F.lit(_NGRAM_LANGS[-1])
+    for i in range(len(_NGRAM_LANGS) - 2, -1, -1):
+        lang = _NGRAM_LANGS[i]
+        cond = None
+        for other in _NGRAM_LANGS[i + 1 :]:
+            c = scores[lang] >= scores[other]
+            cond = c if cond is None else (cond & c)
+        pred = F.when(cond, F.lit(lang)).otherwise(pred)
+    return [
+        *[scores[lang].alias(f"ng_{lang}") for lang in _NGRAM_LANGS],
+        pred.alias("pred_lang_ngram"),
+    ]
+
+
+def q_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standalone face of the n-gram scorer (kept OUT of the driver registry
+    — the 50-row cap is full; the consolidated ``t_text_profile`` carries
+    these columns into the hard signal instead)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", *lang_ngram_cols(trigrams_col(F.col("text")))
+    ).orderBy("doc_id")
+
+
+_TRIGRAMS_SQL = (
+    "CASE WHEN length(p) >= 3 THEN list_transform(range(1, length(p) - 1),"
+    " i -> substr(p, CAST(i AS INT), 3)) ELSE [] END"
+)
+_PADDED_SQL = (
+    "' ' || regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g') || ' '"
+)
+
+
+def _ngram_score_sql(lang: str) -> str:
+    branches = " ".join(
+        f"WHEN '{tg}' THEN {w}" for tg, w in _ngram_weights(lang)
+    )
+    return (
+        "COALESCE(CAST(list_sum(list_transform(tris,"
+        f" t -> CASE t {branches} ELSE 0 END)) AS INT), 0)"
+    )
+
+
+def _ngram_pred_sql() -> str:
+    whens = []
+    for i, lang in enumerate(_NGRAM_LANGS[:-1]):
+        cond = " AND ".join(
+            f"ng_{lang} >= ng_{other}" for other in _NGRAM_LANGS[i + 1 :]
+        )
+        whens.append(f"WHEN {cond} THEN '{lang}'")
+    return "CASE " + " ".join(whens) + f" ELSE '{_NGRAM_LANGS[-1]}' END"
+
+
+_LANG_NGRAM_SQL = f"""
+WITH padded AS (
+  SELECT doc_id, {_PADDED_SQL} AS p FROM documents
+), tri AS (
+  SELECT doc_id, {_TRIGRAMS_SQL} AS tris FROM padded
+), scored AS (
+  SELECT doc_id,
+         {", ".join(f"{_ngram_score_sql(l)} AS ng_{l}" for l in _NGRAM_LANGS)}
+  FROM tri
+)
+SELECT doc_id, {", ".join(f"ng_{l}" for l in _NGRAM_LANGS)},
+       {_ngram_pred_sql()} AS pred_lang_ngram
+FROM scored
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # quality scoring — length / punctuation / stopword / repetition cues
 # ---------------------------------------------------------------------------
 def quality_cols(toks: Column, text: Column) -> list[Column]:

@@ -36,6 +36,7 @@ def test_profile_matches_join_of_originals(spark, profile_pdf):
     originals = [
         textstats.q_token_count,
         textstats.q_lang_id,
+        textstats.q_lang_id_ngram,
         textstats.q_quality_score,
         textstats.q_fingerprint,
         hygiene.q_pii_scrub,
