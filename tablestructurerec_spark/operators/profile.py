@@ -48,10 +48,10 @@ from .textstats import (
     fingerprint_col,
     lang_id_cols,
     lang_ngram_cols,
+    padded_col,
     quality_cols,
     token_count_cols,
     tokens_col,
-    trigrams_col,
 )
 
 __all__ = ["QUERIES", "ORACLE_SQL", "q_text_profile"]
@@ -82,7 +82,7 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             tokens_col(F.col("text")).alias("toks"),
             tokens_col(F.col("rep_text")).alias("rep_toks"),
             rep_sents_col(F.col("rep_text")).alias("sents"),
-            trigrams_col(F.col("text")).alias("tris"),
+            padded_col(F.col("text")).alias("ng_p"),
         )
         .select("*", rep_bigrams_col(F.col("rep_toks")).alias("bigrams"))
     )
@@ -90,7 +90,7 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         *token_count_cols(F.col("toks"), F.col("text")),
         *lang_id_cols(F.col("text")),
-        *lang_ngram_cols(F.col("tris")),
+        *lang_ngram_cols(F.col("ng_p")),
         *quality_cols(F.col("toks"), F.col("text")),
         fingerprint_col(F.col("text")),
         *pii_metric_cols(F.col("aug")),

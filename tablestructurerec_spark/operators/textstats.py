@@ -137,10 +137,18 @@ ORDER BY doc_id
 # a lowercased [a-z0-9 ] alphabet (zh via pinyin romanization), weights are
 # inverse rank (20 … 1).  This upgrades the 5-marker-word heuristic
 # (`lang_id_cols` above) to a real n-gram model while staying a pure
-# Catalyst scan+project with an exact integer-score SQL oracle: the doc's
-# padded trigram array is built ONCE, then each language is one
-# aggregate-with-map-lookup over it — no per-language string pass, no
-# shuffle, no Python.
+# Catalyst scan+project with an exact integer-score SQL oracle.
+#
+# Counting shape (measured): each UNIQUE profile trigram is counted once by
+# replace-length arithmetic — cnt = (len(p) - len(replace(p, tg))) / 3 —
+# a flat whole-stage-codegen expression shared across the languages that
+# list the trigram; scores are then integer linear combinations.  A first
+# cut built the doc's trigram array and ran one `aggregate` map-lookup per
+# language: the interpreted higher-order loop (map literal re-evaluated per
+# element) cost ~10 s at sf0.1 vs <1 s for this formulation.  Counts are
+# non-overlapping (replace semantics, mirrored exactly by the oracle) —
+# indistinguishable from overlapping counts for these profiles unless the
+# text contains periodic runs of a profile trigram.
 _NGRAM_PROFILES: dict[str, list[str]] = {
     "en": [" th", "the", "he ", "ing", "ng ", " an", "and", "nd ", " of",
            "of ", "ion", "on ", "ed ", " to", "to ", "er ", "ent", " in",
@@ -166,33 +174,32 @@ def _ngram_weights(lang: str) -> list[tuple[str, int]]:
     return [(tg, len(prof) - i) for i, tg in enumerate(prof)]
 
 
-def trigrams_col(text: Column) -> Column:
-    """Padded character-trigram array over the normalized text (lower,
-    non-alnum runs → single space, one space of padding each side)."""
-    p = F.concat(
+def padded_col(text: Column) -> Column:
+    """Normalized trigram-counting surface: lower, non-alnum runs -> single
+    space, one space of padding each side."""
+    return F.concat(
         F.lit(" "), F.regexp_replace(F.lower(text), "[^a-z0-9]+", " "), F.lit(" ")
     )
-    n = F.length(p)
-    return F.when(
-        n >= 3,
-        F.transform(F.sequence(F.lit(1), n - 2), lambda i: p.substr(i, F.lit(3))),
-    ).otherwise(F.array().cast("array<string>"))
 
 
-def lang_ngram_cols(tris: Column) -> list[Column]:
-    """Per-language integer profile scores + argmax prediction over a
-    trigram array (from :func:`trigrams_col`).  Integer scores keep the
-    oracle hash-exact; ties break on the fixed `_NGRAM_LANGS` order."""
-    def _scorer(m: Column):
-        return lambda acc, t: acc + F.coalesce(F.try_element_at(m, t), F.lit(0))
-
+def lang_ngram_cols(p: Column) -> list[Column]:
+    """Per-language integer profile scores + argmax prediction over the
+    padded text (from :func:`padded_col`).  Each unique trigram is counted
+    by one shared replace-length expression (Catalyst CSE folds the reuse);
+    integer scores keep the oracle hash-exact; ties break on the fixed
+    `_NGRAM_LANGS` order."""
+    uniq = {tg for prof in _NGRAM_PROFILES.values() for tg in prof}
+    cnt = {
+        tg: ((F.length(p) - F.length(F.replace(p, F.lit(tg)))) / 3).cast("int")
+        for tg in uniq
+    }
     scores: dict[str, Column] = {}
     for lang in _NGRAM_LANGS:
-        pairs = _ngram_weights(lang)
-        m = F.create_map(
-            *[c for tg, w in pairs for c in (F.lit(tg), F.lit(w))]
-        )
-        scores[lang] = F.aggregate(tris, F.lit(0), _scorer(m)).cast("int")
+        s = None
+        for tg, w in _ngram_weights(lang):
+            term = cnt[tg] * w
+            s = term if s is None else (s + term)
+        scores[lang] = s.cast("int")
     pred = F.lit(_NGRAM_LANGS[-1])
     for i in range(len(_NGRAM_LANGS) - 2, -1, -1):
         lang = _NGRAM_LANGS[i]
@@ -209,31 +216,28 @@ def lang_ngram_cols(tris: Column) -> list[Column]:
 
 def q_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Standalone face of the n-gram scorer (kept OUT of the driver registry
-    — the 50-row cap is full; the consolidated ``t_text_profile`` carries
+    -- the 50-row cap is full; the consolidated ``t_text_profile`` carries
     these columns into the hard signal instead)."""
     docs = _t(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", *lang_ngram_cols(trigrams_col(F.col("text")))
-    ).orderBy("doc_id")
+    # stage p: inlining it would re-embed the normalize regex into every
+    # count term (1000 regexp_replace instances in the plan, measured ~4 s
+    # codegen compile per run); CollapseProject's duplicate-expensive-expr
+    # guard keeps the staged projection, so the regex runs once per row
+    staged = docs.select("doc_id", padded_col(F.col("text")).alias("p"))
+    return staged.select("doc_id", *lang_ngram_cols(F.col("p"))).orderBy("doc_id")
 
 
-_TRIGRAMS_SQL = (
-    "CASE WHEN length(p) >= 3 THEN list_transform(range(1, length(p) - 1),"
-    " i -> substr(p, CAST(i AS INT), 3)) ELSE [] END"
-)
 _PADDED_SQL = (
     "' ' || regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g') || ' '"
 )
 
 
 def _ngram_score_sql(lang: str) -> str:
-    branches = " ".join(
-        f"WHEN '{tg}' THEN {w}" for tg, w in _ngram_weights(lang)
+    terms = " + ".join(
+        f"CAST((length(p) - length(replace(p, '{tg}', ''))) / 3 AS INT) * {w}"
+        for tg, w in _ngram_weights(lang)
     )
-    return (
-        "COALESCE(CAST(list_sum(list_transform(tris,"
-        f" t -> CASE t {branches} ELSE 0 END)) AS INT), 0)"
-    )
+    return f"CAST({terms} AS INT)"
 
 
 def _ngram_pred_sql() -> str:
@@ -249,12 +253,10 @@ def _ngram_pred_sql() -> str:
 _LANG_NGRAM_SQL = f"""
 WITH padded AS (
   SELECT doc_id, {_PADDED_SQL} AS p FROM documents
-), tri AS (
-  SELECT doc_id, {_TRIGRAMS_SQL} AS tris FROM padded
 ), scored AS (
   SELECT doc_id,
          {", ".join(f"{_ngram_score_sql(l)} AS ng_{l}" for l in _NGRAM_LANGS)}
-  FROM tri
+  FROM padded
 )
 SELECT doc_id, {", ".join(f"ng_{l}" for l in _NGRAM_LANGS)},
        {_ngram_pred_sql()} AS pred_lang_ngram

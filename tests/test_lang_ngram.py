@@ -18,8 +18,8 @@ from tablestructurerec_spark.operators.textstats import (
     _LANG_NGRAM_SQL,
     _NGRAM_LANGS,
     lang_ngram_cols,
+    padded_col,
     q_lang_id_ngram,
-    trigrams_col,
 )
 
 SF_DIR = os.environ.get("TSR_TEST_SF_DIR", "/root/testdata/sf0.001")
@@ -28,7 +28,7 @@ SF_DIR = os.environ.get("TSR_TEST_SF_DIR", "/root/testdata/sf0.001")
 def _score(spark, texts):
     df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id int, text string")
     return (
-        df.select("id", *lang_ngram_cols(trigrams_col(F.col("text"))))
+        df.select("id", *lang_ngram_cols(padded_col(F.col("text"))))
         .orderBy("id")
         .toPandas()
     )
