@@ -390,6 +390,131 @@ ORDER BY lang, rank
 """
 
 
+# ---------------------------------------------------------------------------
+# DSIR-style importance resampling weights (hashed n-gram importance weights)
+# ---------------------------------------------------------------------------
+_DSIR_BUCKETS = 2048
+_DSIR_ALPHA = 0.5
+_SCALE_DSIR = 10_000  # 1e-4 per-feature log10 resolution (same as _SCALE_LM)
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023, public
+    method): estimate hashed-ngram bag-of-features multinomials for a
+    TARGET domain (here: the ``lang='en'`` slice) and the RAW corpus, then
+    weight every document by its log importance ratio
+    ``Σ_f log p̂_target(bucket(f)) − log p̂_raw(bucket(f))`` over its
+    unigram+bigram features hashed into ``_DSIR_BUCKETS`` buckets
+    (additive ``_DSIR_ALPHA`` smoothing).  ``keep_target=true`` marks docs
+    that look more target-like than corpus-average — the resampling set.
+
+    Standalone (driver registry is at its 50-row cap); hash-exact DuckDB
+    parity is pinned by ``tests/test_dsir.py`` with the same rigor.
+
+    Determinism / 100 TB shape: per-feature log-ratios are integer-scaled
+    (×``_SCALE_DSIR``) before the per-doc sum, so the reduction order can
+    never move the result (the ``q_unigram_logprob`` discipline).  Pass 1
+    is ONE explode + partial-agg shuffle producing the bounded (≤2048-row)
+    bucket-count table — target and raw counts in the SAME aggregation
+    (conditional count), so the corpus is not scanned twice for the two
+    distributions; the totals window then runs over ≤2048 rows.  Pass 2
+    re-explodes and equi-joins the broadcast ratio table (fixed-size side,
+    like decontamination) and partial-aggregates per doc — the corpus
+    never shuffles whole-text rows, only (doc_id) key partials.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    from .hygiene import rep_bigrams_col
+
+    toks = tokens_col(F.col("text"))
+    staged = docs.select("doc_id", "lang", toks.alias("toks"))
+    feats = staged.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.concat(F.col("toks"), rep_bigrams_col(F.col("toks")))
+        ).alias("f"),
+    ).select(
+        "doc_id",
+        "lang",
+        (
+            F.conv(F.substring(F.md5(F.col("f")), 1, 8), 16, 10).cast("long")
+            % _DSIR_BUCKETS
+        ).alias("bucket"),
+    )
+    counts = feats.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("raw_cnt"),
+        F.count(F.when(F.col("lang") == "en", F.lit(1))).alias("tgt_cnt"),
+    )
+    w = Window.partitionBy()  # post-agg frame is ≤ _DSIR_BUCKETS rows
+    a, ab = float(_DSIR_ALPHA), float(_DSIR_ALPHA * _DSIR_BUCKETS)
+    lr = (
+        F.log10((F.col("tgt_cnt") + a) / (F.sum("tgt_cnt").over(w) + ab))
+        - F.log10((F.col("raw_cnt") + a) / (F.sum("raw_cnt").over(w) + ab))
+    )
+    ratio = counts.select(
+        "bucket", F.round(lr * _SCALE_DSIR).cast("long").alias("lr")
+    )
+    per_doc = (
+        feats.join(F.broadcast(ratio), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_feats"),
+            F.sum("lr").alias("s"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_feats"), F.lit(0)).alias("n_feats"),
+            F.round(
+                F.coalesce(F.col("s"), F.lit(0)) / float(_SCALE_DSIR), 6
+            ).alias("logw"),
+            (F.coalesce(F.col("s"), F.lit(0)) > 0).alias("keep_target"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_DSIR_BIGRAMS_SQL = (
+    "list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])"
+)
+
+_DSIR_SQL = f"""
+WITH base AS (
+  SELECT doc_id, lang, {_TOKENS_SQL} AS toks FROM documents
+), feats AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5(f), 1, 8)) AS BIGINT) % {_DSIR_BUCKETS} AS bucket
+  FROM (SELECT doc_id, lang, unnest(toks || {_DSIR_BIGRAMS_SQL}) AS f FROM base)
+), counts AS (
+  SELECT bucket,
+         count(*) AS raw_cnt,
+         count(CASE WHEN lang = 'en' THEN 1 END) AS tgt_cnt
+  FROM feats GROUP BY bucket
+), totals AS (
+  SELECT sum(raw_cnt) AS r_total, sum(tgt_cnt) AS t_total FROM counts
+), ratio AS (
+  SELECT bucket,
+         CAST(ROUND((log10((tgt_cnt + {_DSIR_ALPHA}) / (t.t_total + {_DSIR_ALPHA} * {_DSIR_BUCKETS}))
+                   - log10((raw_cnt + {_DSIR_ALPHA}) / (t.r_total + {_DSIR_ALPHA} * {_DSIR_BUCKETS})))
+                   * {_SCALE_DSIR}) AS BIGINT) AS lr
+  FROM counts, totals t
+), per_doc AS (
+  SELECT f.doc_id, CAST(count(*) AS INT) AS n_feats, sum(r.lr) AS s
+  FROM feats f JOIN ratio r USING (bucket)
+  GROUP BY f.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(p.n_feats, 0) AS n_feats,
+       ROUND(COALESCE(p.s, 0) / {_SCALE_DSIR}.0, 6) AS logw,
+       COALESCE(p.s, 0) > 0 AS keep_target
+FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+ORDER BY d.doc_id
+"""
+
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_split_assign": q_split_assign,
     "t_stratified_sample": q_stratified_sample,
