@@ -237,6 +237,14 @@ def main() -> None:
         for k, v in entry_mod.queries().items()
         if k not in ("flagship_extract", "s1_clean_turns")  # timed separately below
     }
+    # operators implemented beyond the driver registry's 50-row correctness
+    # cap: benched here (timing and correctness are separate paths; their
+    # oracle gate is the pytest DuckDB parity in tests/)
+    from tablestructurerec_spark.operators.sampling import q_dsir_weights
+    from tablestructurerec_spark.operators.textstats import q_lang_id_ngram
+
+    queries["t_dsir_weights"] = q_dsir_weights
+    queries["t_lang_id_ngram"] = q_lang_id_ngram
     timings: dict[str, float] = {}
 
     _warm_python_workers(spark)

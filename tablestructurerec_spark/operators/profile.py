@@ -43,11 +43,13 @@ from .textstats import (
     _FINGERPRINT_SQL,
     _LANG_ID_SQL,
     _LANG_NGRAM_SQL,
+    _NGRAM_LANGS,
     _QUALITY_SQL,
     _TOKEN_COUNT_SQL,
     fingerprint_col,
     lang_id_cols,
-    lang_ngram_cols,
+    lang_ngram_pred_col,
+    lang_ngram_score_cols,
     padded_col,
     quality_cols,
     token_count_cols,
@@ -84,13 +86,20 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             rep_sents_col(F.col("rep_text")).alias("sents"),
             padded_col(F.col("text")).alias("ng_p"),
         )
-        .select("*", rep_bigrams_col(F.col("rep_toks")).alias("bigrams"))
+        .select(
+            "*",
+            rep_bigrams_col(F.col("rep_toks")).alias("bigrams"),
+            # scores staged here so the argmax below reads attributes — see
+            # lang_ngram_score_cols on why embedding them 5×s the plan
+            *lang_ngram_score_cols(F.col("ng_p")),
+        )
     )
     return staged.select(
         "doc_id",
         *token_count_cols(F.col("toks"), F.col("text")),
         *lang_id_cols(F.col("text")),
-        *lang_ngram_cols(F.col("ng_p")),
+        *[F.col(f"ng_{lang}") for lang in _NGRAM_LANGS],
+        lang_ngram_pred_col(),
         *quality_cols(F.col("toks"), F.col("text")),
         fingerprint_col(F.col("text")),
         *pii_metric_cols(F.col("aug")),

@@ -182,24 +182,34 @@ def padded_col(text: Column) -> Column:
     )
 
 
-def lang_ngram_cols(p: Column) -> list[Column]:
-    """Per-language integer profile scores + argmax prediction over the
-    padded text (from :func:`padded_col`).  Each unique trigram is counted
-    by one shared replace-length expression (Catalyst CSE folds the reuse);
-    integer scores keep the oracle hash-exact; ties break on the fixed
-    `_NGRAM_LANGS` order."""
+def lang_ngram_score_cols(p: Column) -> list[Column]:
+    """Per-language integer profile scores over the padded text (from
+    :func:`padded_col`).  Each unique trigram is counted by one shared
+    replace-length expression; integer scores keep the oracle hash-exact.
+    Callers must SELECT these as their own projection and build the
+    prediction from the resulting attributes (:func:`lang_ngram_pred_col`)
+    — embedding the scores into the argmax cascade re-expands each ~20-term
+    sum up to 5×, a ~500-node plan whose analysis+codegen cost ~8 s per run
+    (measured at sf0.01; data cost is negligible)."""
     uniq = {tg for prof in _NGRAM_PROFILES.values() for tg in prof}
     cnt = {
         tg: ((F.length(p) - F.length(F.replace(p, F.lit(tg)))) / 3).cast("int")
         for tg in uniq
     }
-    scores: dict[str, Column] = {}
+    scores: list[Column] = []
     for lang in _NGRAM_LANGS:
         s = None
         for tg, w in _ngram_weights(lang):
             term = cnt[tg] * w
             s = term if s is None else (s + term)
-        scores[lang] = s.cast("int")
+        scores.append(s.cast("int").alias(f"ng_{lang}"))
+    return scores
+
+
+def lang_ngram_pred_col() -> Column:
+    """Argmax over the staged ``ng_<lang>`` score attributes; ties break on
+    the fixed `_NGRAM_LANGS` order."""
+    scores = {lang: F.col(f"ng_{lang}") for lang in _NGRAM_LANGS}
     pred = F.lit(_NGRAM_LANGS[-1])
     for i in range(len(_NGRAM_LANGS) - 2, -1, -1):
         lang = _NGRAM_LANGS[i]
@@ -208,10 +218,7 @@ def lang_ngram_cols(p: Column) -> list[Column]:
             c = scores[lang] >= scores[other]
             cond = c if cond is None else (cond & c)
         pred = F.when(cond, F.lit(lang)).otherwise(pred)
-    return [
-        *[scores[lang].alias(f"ng_{lang}") for lang in _NGRAM_LANGS],
-        pred.alias("pred_lang_ngram"),
-    ]
+    return pred.alias("pred_lang_ngram")
 
 
 def q_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -224,7 +231,8 @@ def q_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # codegen compile per run); CollapseProject's duplicate-expensive-expr
     # guard keeps the staged projection, so the regex runs once per row
     staged = docs.select("doc_id", padded_col(F.col("text")).alias("p"))
-    return staged.select("doc_id", *lang_ngram_cols(F.col("p"))).orderBy("doc_id")
+    scored = staged.select("doc_id", *lang_ngram_score_cols(F.col("p")))
+    return scored.select("*", lang_ngram_pred_col()).orderBy("doc_id")
 
 
 _PADDED_SQL = (

@@ -8,6 +8,7 @@ shape (bounded ratio table broadcast, corpus side never broadcast).
 """
 
 import os
+import re
 
 import duckdb
 import pandas as pd
@@ -96,12 +97,55 @@ def test_ratio_table_is_the_broadcast_side(spark):
         .executedPlan()
         .toString()
     )
-    assert "BroadcastHashJoin" in plan, plan
-    # the per-doc scoring join must broadcast the bounded bucket-ratio side;
-    # nothing corpus-sized (text / feature rows) may sit under a broadcast
-    # exchange on the scoring path.  The final include-empty-docs join over
-    # (doc_id) keys is AQE's to decide.
-    import re
+    # the per-doc scoring join must be a broadcast join ON THE BUCKET KEY
+    # (a SortMergeJoin here would shuffle the corpus-sized feature frame)
+    assert re.search(r"BroadcastHashJoin \[bucket", plan), plan
+    # and nothing corpus-sized may be SHIPPED by a broadcast exchange: a
+    # broadcast subtree may contain the explode in its lineage, but what is
+    # shipped is the subtree's top — so any subtree containing the feature
+    # explode (Generate) must reduce it through the bounded bucket
+    # HashAggregate BEFORE the broadcast (aggregate line above the explode)
+    lines = plan.splitlines()
 
-    for m in re.finditer(r"BroadcastExchange[^\n]*", plan):
-        assert "text" not in m.group(0), m.group(0)
+    def _indent(ln: str) -> int:
+        return len(ln) - len(ln.lstrip(" :+-*("))
+
+    checked = 0
+    for i, ln in enumerate(lines):
+        if "BroadcastExchange" not in ln:
+            continue
+        d = _indent(ln)
+        sub = []
+        j = i + 1
+        while j < len(lines) and _indent(lines[j]) > d:
+            sub.append(lines[j])
+            j += 1
+        gen = next((k for k, s in enumerate(sub) if "Generate" in s), None)
+        if gen is None:
+            continue
+        checked += 1
+        # raw exploded feature rows must never ship: every broadcast whose
+        # lineage includes the explode must reduce through an aggregate
+        # first.  (The ratio side aggregates on bucket — bounded by
+        # construction; the final doc_id join's build side aggregates per
+        # doc, a runtime-size call the planner may make at test scale.)
+        assert any(
+            "HashAggregate" in s for s in sub[:gen]
+        ), f"raw explode output broadcast without aggregation:\n{ln}"
+    assert checked >= 1  # at least one explode-bearing subtree inspected
+    # and the bucket-join build side specifically is the bounded bucket
+    # aggregate: its exchange subtree must aggregate on bucket above the
+    # explode
+    m = re.search(r"BroadcastHashJoin \[bucket", plan)
+    tail = plan[m.start():].splitlines()
+    d = _indent(tail[0])
+    sub = []
+    j = 1
+    while j < len(tail) and _indent(tail[j]) > d:
+        sub.append(tail[j])
+        j += 1
+    bx = next(k for k, s in enumerate(sub) if "BroadcastExchange" in s)
+    gen = next(k for k, s in enumerate(sub) if k > bx and "Generate" in s)
+    assert any(
+        "HashAggregate" in s and "bucket" in s for s in sub[bx:gen]
+    ), "bucket-join build side is not the bounded bucket aggregate"

@@ -17,7 +17,8 @@ from pyspark.sql import functions as F
 from tablestructurerec_spark.operators.textstats import (
     _LANG_NGRAM_SQL,
     _NGRAM_LANGS,
-    lang_ngram_cols,
+    lang_ngram_pred_col,
+    lang_ngram_score_cols,
     padded_col,
     q_lang_id_ngram,
 )
@@ -28,7 +29,8 @@ SF_DIR = os.environ.get("TSR_TEST_SF_DIR", "/root/testdata/sf0.001")
 def _score(spark, texts):
     df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id int, text string")
     return (
-        df.select("id", *lang_ngram_cols(padded_col(F.col("text"))))
+        df.select("id", *lang_ngram_score_cols(padded_col(F.col("text"))))
+        .select("*", lang_ngram_pred_col())
         .orderBy("id")
         .toPandas()
     )
@@ -58,7 +60,8 @@ def test_empty_and_tie_break(spark):
     out = _score(spark, ["", "xxx", "qq"])
     # all-zero scores tie → first language in the fixed priority order
     assert all(out["pred_lang_ngram"] == _NGRAM_LANGS[0])
-    assert all(int(out[f"ng_{l}"][0]) == 0 for l in _NGRAM_LANGS)
+    for l in _NGRAM_LANGS:
+        assert (out[f"ng_{l}"] == 0).all(), l
 
 
 @pytest.mark.skipif(
