@@ -58,4 +58,13 @@ if __name__ == "__main__":
     print("== event funnel stages ==")
     temporal.QUERIES["t_event_funnel"](spark, sf_dir).groupBy("stage").count().show()
 
+    print("== DSIR importance weights (target=en slice; keep fraction) ==")
+    dsir = sampling.q_dsir_weights(spark, sf_dir)
+    dsir.groupBy("keep_target").count().show()
+
+    print("== n-gram language ID vs the lang label (confusion counts) ==")
+    from tablestructurerec_spark.operators.textstats import q_lang_id_ngram
+
+    q_lang_id_ngram(spark, sf_dir).groupBy("pred_lang_ngram").count().show()
+
     spark.stop()
