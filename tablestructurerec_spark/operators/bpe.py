@@ -75,10 +75,10 @@ def _normalized(text: Column) -> Column:
     return F.regexp_replace(F.lower(text), "[^a-z0-9]+", " ")
 
 
-def bpe_encode_col(text: Column) -> Column:
+def bpe_encode_col(text: Column, merges: List[Tuple[str, str]] = MERGES) -> Column:
     """Marker-wrapped BPE encoding of ``text`` as one Column expression."""
     s = F.regexp_replace(_normalized(text), "([a-z0-9])", f"{_S}$1{_E}")
-    for a, b in MERGES:
+    for a, b in merges:
         s = F.regexp_replace(s, f"{_S}{a}{_E}{_S}{b}{_E}", f"{_S}{a}{b}{_E}")
     return s
 
@@ -124,12 +124,12 @@ def _sql_chr(tok: str) -> str:
     )
 
 
-def _bpe_encode_sql(expr: str) -> str:
+def _bpe_encode_sql(expr: str, merges: List[Tuple[str, str]] = MERGES) -> str:
     s = (
         f"regexp_replace(regexp_replace(lower({expr}), '[^a-z0-9]+', ' ', 'g'),"
         f" '([a-z0-9])', {_sql_chr(_S)} || '\\1' || {_sql_chr(_E)}, 'g')"
     )
-    for a, b in MERGES:
+    for a, b in merges:
         pat = _sql_chr(f"{_S}{a}{_E}{_S}{b}{_E}")
         rep = _sql_chr(f"{_S}{a}{b}{_E}")
         s = f"regexp_replace({s}, {pat}, {rep}, 'g')"
@@ -157,7 +157,7 @@ ORDER BY doc_id
 # ---------------------------------------------------------------------------
 # python twins — the reference semantics the Column chain is pinned against
 # ---------------------------------------------------------------------------
-def bpe_encode_py(text: str) -> List[str]:
+def bpe_encode_py(text: str, merges: List[Tuple[str, str]] = MERGES) -> List[str]:
     """Rank-ordered exhaustive application (the chain's semantics) on one
     normalized word list; returns the flat token sequence."""
     import re
@@ -166,7 +166,7 @@ def bpe_encode_py(text: str) -> List[str]:
     out: List[str] = []
     for w in words:
         toks = list(w)
-        for a, b in MERGES:
+        for a, b in merges:
             i, merged = 0, []
             while i < len(toks):
                 if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
@@ -180,13 +180,13 @@ def bpe_encode_py(text: str) -> List[str]:
     return out
 
 
-def bpe_encode_classic(text: str) -> List[str]:
+def bpe_encode_classic(text: str, merges: List[Tuple[str, str]] = MERGES) -> List[str]:
     """The textbook encoder: repeatedly merge the lowest-rank pair present.
     test_bpe.py asserts it equals :func:`bpe_encode_py` — the equivalence
     that justifies the regexp chain."""
     import re
 
-    rank = {pair: i for i, pair in enumerate(MERGES)}
+    rank = {pair: i for i, pair in enumerate(merges)}
     words = re.sub(r"[^a-z0-9]+", " ", text.lower()).split()
     out: List[str] = []
     for w in words:
@@ -196,7 +196,7 @@ def bpe_encode_classic(text: str) -> List[str]:
             best = min((rank[p] for p in pairs if p in rank), default=None)
             if best is None:
                 break
-            a, b = MERGES[best]
+            a, b = merges[best]
             i, merged = 0, []
             while i < len(toks):
                 if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
