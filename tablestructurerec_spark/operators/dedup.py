@@ -623,6 +623,67 @@ def q_dedup_minhash_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q_dedup_minhash_lsh(spark, sf_dir, n_hashes=128, band_rows=8)
 
 
+# ---------------------------------------------------------------------------
+# policy-driven representative selection: keep the BEST doc per dup group
+# ---------------------------------------------------------------------------
+def q_dedup_keep_best(
+    spark: SparkSession, sf_dir: str, reliable_checkpoint: bool | None = None
+) -> DataFrame:
+    """Quality-policy representative selection over the dup components:
+    instead of ``q_dedup_components``' keep-first (min doc_id), keep the
+    member with the HIGHEST quality score (``textstats.quality_cols``),
+    ties to the smaller doc_id — what production dedup actually does
+    (discard the boilerplate-laden mirror, keep the clean original).
+
+    Shape on top of components: one equi-join to the per-doc quality
+    scan (no extra pass over text — quality is a scan+project) and one
+    window keyed on ``component``.  Dup groups are small (bounded by the
+    near-dup radius), so the per-component sort is bounded; the window
+    shuffle is the only exchange added.
+    """
+    from tablestructurerec_spark.operators.textstats import quality_cols
+
+    comp = q_dedup_components(spark, sf_dir, reliable_checkpoint).select(
+        "doc_id", "component"
+    )
+    docs = _t(spark, sf_dir, "documents")
+    quality = docs.select(
+        "doc_id", quality_cols(tokens_col(F.col("text")), F.col("text"))[3]
+    )
+    w = Window.partitionBy("component").orderBy(F.desc("quality"), F.asc("doc_id"))
+    return (
+        comp.join(quality, "doc_id")
+        .select(
+            "doc_id",
+            "component",
+            "quality",
+            (F.row_number().over(w) == 1).cast("int").alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _keep_best_oracle() -> str:
+    """Components (recursive CTE) ⋈ quality, ROW_NUMBER keep verdict.  The
+    WITH RECURSIVE block nests inside a derived table so the outer query
+    can compose it with the quality CTE unchanged."""
+    from tablestructurerec_spark.operators.textstats import _QUALITY_SQL
+
+    return f"""
+WITH comp AS (
+  SELECT doc_id, component FROM ({_components_oracle()})
+), q AS (
+  SELECT doc_id, quality FROM ({_QUALITY_SQL})
+)
+SELECT c.doc_id, c.component, q.quality,
+       CAST(CASE WHEN ROW_NUMBER() OVER (
+         PARTITION BY c.component ORDER BY q.quality DESC, c.doc_id ASC
+       ) = 1 THEN 1 ELSE 0 END AS INT) AS keep
+FROM comp c JOIN q USING (doc_id)
+ORDER BY c.doc_id
+"""
+
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_minhash_prod": q_dedup_minhash_prod,
