@@ -67,4 +67,42 @@ if __name__ == "__main__":
 
     q_lang_id_ngram(spark, sf_dir).groupBy("pred_lang_ngram").count().show()
 
+    print("== SemDeDup: semantic dup verdicts per cluster ==")
+    from tablestructurerec_spark.operators.semdedup import q_semdedup
+
+    q_semdedup(spark, sf_dir).groupBy("is_dup").count().show()
+
+    print("== CCNet perplexity buckets per language ==")
+    from tablestructurerec_spark.operators.ccnet import q_ccnet_buckets
+
+    q_ccnet_buckets(spark, sf_dir).groupBy("lang", "bucket").count().orderBy(
+        "lang", "bucket"
+    ).show()
+
+    print("== learned BPE table: corpus token totals ==")
+    from tablestructurerec_spark.operators.bpe_train import (
+        q_bpe_learned_token_count,
+    )
+
+    q_bpe_learned_token_count(spark, sf_dir).agg(
+        {"n_bpe_tokens": "sum"}
+    ).show()
+
+    print("== quality-policy dedup: keepers that are NOT the min doc_id ==")
+    from tablestructurerec_spark.operators.dedup import q_dedup_keep_best
+
+    kb = q_dedup_keep_best(spark, sf_dir)
+    kb.where("keep = 1 AND doc_id <> component").count()
+    kb.groupBy("keep").count().show()
+
+    print("== Zipf head: top terms, coverage, slope ==")
+    from tablestructurerec_spark.operators.zipf import q_zipf_stats
+
+    q_zipf_stats(spark, sf_dir).show(10)
+
+    print("== PQ ANN top-10 (32x-compressed codes + exact re-rank) ==")
+    from tablestructurerec_spark.operators.pq import q_ann_pq_topk
+
+    q_ann_pq_topk(spark, sf_dir).show()
+
     spark.stop()

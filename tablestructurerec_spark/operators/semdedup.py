@@ -117,26 +117,35 @@ def q_semdedup(
             F.col("best.d").alias("cdist"),
         )
     )
-    member = emb.join(assigned, "vec_id").withColumn(
-        "rk",
-        F.row_number()
-        .over(
-            Window.partitionBy("cluster_id").orderBy(
-                F.desc("cdist"), F.asc("vec_id")
+    # per-member norm hoisted OUT of the pair frame: computed N times here
+    # instead of 2·|pairs| times inside the join (the triplet-mine lesson;
+    # numerically identical — no intermediate rounding)
+    member = (
+        emb.join(assigned, "vec_id")
+        .withColumn("nrm", _norm(F.col("embedding")))
+        .withColumn(
+            "rk",
+            F.row_number()
+            .over(
+                Window.partitionBy("cluster_id").orderBy(
+                    F.desc("cdist"), F.asc("vec_id")
+                )
             )
+            .cast("int"),
         )
-        .cast("int"),
     )
     a = member.select(
         F.col("cluster_id").alias("c"),
         F.col("rk").alias("rk_a"),
         F.col("embedding").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
     )
     b = member.select(
         "cluster_id",
         F.col("vec_id").alias("bid"),
         F.col("rk").alias("rk_b"),
         F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
     )
     prior = (
         b.join(a, (a["c"] == b["cluster_id"]) & (a["rk_a"] < b["rk_b"]))
@@ -145,7 +154,7 @@ def q_semdedup(
             F.max(
                 F.round(
                     _dot(F.col("emb_a"), F.col("emb_b"))
-                    / (_norm(F.col("emb_a")) * _norm(F.col("emb_b"))),
+                    / (F.col("nrm_a") * F.col("nrm_b")),
                     6,
                 )
             ).alias("max_prior_cos")
