@@ -240,12 +240,19 @@ def main() -> None:
     # operators implemented beyond the driver registry's 50-row correctness
     # cap: benched here (timing and correctness are separate paths; their
     # oracle gate is the pytest DuckDB parity in tests/)
-    from tablestructurerec_spark.operators import bpe_train, ccnet, pq, semdedup, zipf
+    from tablestructurerec_spark.operators import (
+        bpe_train,
+        ccnet,
+        distill,
+        pq,
+        semdedup,
+        zipf,
+    )
     from tablestructurerec_spark.operators.dedup import q_dedup_keep_best
     from tablestructurerec_spark.operators.sampling import q_dsir_weights
     from tablestructurerec_spark.operators.textstats import q_lang_id_ngram
 
-    for mod in (bpe_train, ccnet, pq, semdedup, zipf):
+    for mod in (bpe_train, ccnet, distill, pq, semdedup, zipf):
         queries.update(mod.QUERIES)  # modules' own keys — no name drift
     queries["t_dsir_weights"] = q_dsir_weights
     queries["t_lang_id_ngram"] = q_lang_id_ngram
