@@ -47,27 +47,32 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_table(spark, sf_dir, name)
 
 
-def q_quality_distill(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document ``(doc_id, n_feats, nb_score, pred_head)``: the hashed-
-    NB log-odds of being a CCNet ``head`` document (positive = head-like),
-    and the binary verdict ``pred_head = log-odds > 0``."""
+def _hash_bucket(col) -> "F.Column":
+    """Feature hashing: first 8 md5 hex chars → bucket (the DSIR trick)."""
+    return (
+        F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long") % _NB_BUCKETS
+    )
+
+
+def _feats(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("f")
+    ).select("doc_id", _hash_bucket(F.col("f")).alias("fb"))
+
+
+def _fit_frames(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """The shared fit: (≤_NB_BUCKETS-row ratio frame, 1-row prior frame).
+    Used by the batch scorer and collected by :func:`nb_model` for the
+    stateless streaming scorer."""
     docs = _t(spark, sf_dir, "documents")
     labels = q_ccnet_buckets(spark, sf_dir).where(
         (F.col("bucket").isin("head", "tail")) & (F.col("doc_id") < _TRAIN_MAX_ID)
     )
     train = labels.select("doc_id", (F.col("bucket") == "head").alias("pos"))
-
-    feats = docs.select(
-        "doc_id", F.explode(tokens_col(F.col("text"))).alias("f")
-    ).select(
-        "doc_id",
-        (
-            F.conv(F.substring(F.md5(F.col("f")), 1, 8), 16, 10).cast("long")
-            % _NB_BUCKETS
-        ).alias("fb"),
-    )
     counts = (
-        feats.join(train, "doc_id")  # bounded labeled slice only
+        _feats(docs).join(train, "doc_id")  # bounded labeled slice only
         .groupBy("fb")
         .agg(
             F.count(F.when(F.col("pos"), F.lit(1))).alias("pos_cnt"),
@@ -122,8 +127,18 @@ def q_quality_distill(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("prior")
         )
     )
+    return ratio, prior
+
+
+def q_quality_distill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document ``(doc_id, n_feats, nb_score, pred_head)``: the hashed-
+    NB log-odds of being a CCNet ``head`` document (positive = head-like),
+    and the binary verdict ``pred_head = log-odds > 0``."""
+    docs = _t(spark, sf_dir, "documents")
+    ratio, prior = _fit_frames(spark, sf_dir)
     per_doc = (
-        feats.join(F.broadcast(ratio), "fb")
+        _feats(docs)
+        .join(F.broadcast(ratio), "fb")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).cast("int").alias("n_feats"), F.sum("lr").alias("s"))
     )
@@ -198,6 +213,19 @@ LEFT JOIN per_doc p ON d.doc_id = p.doc_id
 CROSS JOIN prior pr
 ORDER BY d.doc_id
 """
+
+
+def nb_model(spark: SparkSession, sf_dir: str) -> tuple[Dict[int, int], int]:
+    """Collect the fitted student as a plain ``({bucket: lr}, prior)`` pair
+    — O(_NB_BUCKETS) integers, the artifact a stateless streaming scorer
+    (``streaming.quality_stream.stream_quality_assign``) embeds as a map
+    literal.  Runs the exact same fit plan as :func:`q_quality_distill`
+    (one shared builder — zero drift); collecting ≤1024+1 rows is a
+    bounded small-side collect (the lineage-metadata rule)."""
+    ratio_df, prior_df = _fit_frames(spark, sf_dir)
+    ratio = {int(r.fb): int(r.lr) for r in ratio_df.collect()}
+    prior = int(prior_df.collect()[0].prior)
+    return ratio, prior
 
 
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
