@@ -241,6 +241,7 @@ def main() -> None:
     # cap: benched here (timing and correctness are separate paths; their
     # oracle gate is the pytest DuckDB parity in tests/)
     from tablestructurerec_spark.operators import (
+        bloom,
         bpe_train,
         c4,
         ccnet,
@@ -253,7 +254,7 @@ def main() -> None:
     from tablestructurerec_spark.operators.sampling import q_dsir_weights
     from tablestructurerec_spark.operators.textstats import q_lang_id_ngram
 
-    for mod in (bpe_train, c4, ccnet, distill, pq, semdedup, zipf):
+    for mod in (bloom, bpe_train, c4, ccnet, distill, pq, semdedup, zipf):
         queries.update(mod.QUERIES)  # modules' own keys — no name drift
     queries["t_dsir_weights"] = q_dsir_weights
     queries["t_lang_id_ngram"] = q_lang_id_ngram
