@@ -242,11 +242,13 @@ def main() -> None:
     # oracle gate is the pytest DuckDB parity in tests/)
     from tablestructurerec_spark.operators import (
         bloom,
+        bpe_factored,
         bpe_train,
         c4,
         ccnet,
         distill,
         normalize,
+        paradedup,
         pq,
         semdedup,
         zipf,
@@ -255,7 +257,8 @@ def main() -> None:
     from tablestructurerec_spark.operators.sampling import q_dsir_weights
     from tablestructurerec_spark.operators.textstats import q_lang_id_ngram
 
-    for mod in (bloom, bpe_train, c4, ccnet, distill, normalize, pq, semdedup, zipf):
+    for mod in (bloom, bpe_factored, bpe_train, c4, ccnet, distill, normalize,
+                paradedup, pq, semdedup, zipf):
         queries.update(mod.QUERIES)  # modules' own keys — no name drift
     queries["t_dsir_weights"] = q_dsir_weights
     queries["t_lang_id_ngram"] = q_lang_id_ngram
