@@ -246,6 +246,7 @@ def main() -> None:
         bpe_train,
         c4,
         ccnet,
+        convdedup,
         distill,
         normalize,
         paradedup,
@@ -257,8 +258,8 @@ def main() -> None:
     from tablestructurerec_spark.operators.sampling import q_dsir_weights
     from tablestructurerec_spark.operators.textstats import q_lang_id_ngram
 
-    for mod in (bloom, bpe_factored, bpe_train, c4, ccnet, distill, normalize,
-                paradedup, pq, semdedup, zipf):
+    for mod in (bloom, bpe_factored, bpe_train, c4, ccnet, convdedup, distill,
+                normalize, paradedup, pq, semdedup, zipf):
         queries.update(mod.QUERIES)  # modules' own keys — no name drift
     queries["t_dsir_weights"] = q_dsir_weights
     queries["t_lang_id_ngram"] = q_lang_id_ngram
