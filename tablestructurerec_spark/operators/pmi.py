@@ -1,0 +1,144 @@
+"""Collocation / phrase mining — top bigrams by pointwise mutual
+information (lift), the classic corpus-statistics pass for building phrase
+vocabularies and detecting templated boilerplate pairs.
+
+PMI(x,y) = log( p(xy) / (p(x)p(y)) ) is monotone in the integer-comparable
+lift ratio ``c_xy * N / (c_x * c_y)``, so the operator ranks by an
+ALL-INTEGER scaled lift and never computes a log (house rule — floats never
+cross an engine boundary, the DuckDB twin is value-exact):
+
+    lift_scaled = ((c_xy * 10^6) DIV c_left) * N DIV c_right
+
+Both intermediate products stay far under 2^63 at any realistic corpus
+(c_xy <= c_left, so the first quotient is <= 10^6; 10^6 * N fits BIGINT up
+to N = 9.2 * 10^12 bigrams — shard by language beyond that).  The two-step
+truncation is deterministic and identical in both engines.
+
+Spark shape, audited for 100 TB:
+
+* ONE corpus scan: tokens → adjacent pairs via ``arrays_zip(t, slice(t, 2,
+  ...))`` (null-padded tail filtered) → ``groupBy(w1, w2).count()`` with
+  map-side partial aggregation — the only shuffle that sees corpus-sized
+  data, and it carries (w1, w2, partial-count) not text;
+* the aggregated bigram table (bounded by the OBSERVED vocab², orders of
+  magnitude smaller than the corpus) is persisted so the three downstream
+  consumers — marginal windows and the scalar total — never re-scan the
+  corpus: Catalyst cannot reuse the exchange across differently-pruned
+  subtrees (measured in round 2: the dup-spans doc), so the persist IS the
+  scan-once guarantee, and it holds a few (token, token, long) rows per
+  observed pair, not documents;
+* marginals are window sums over the persisted table partitioned by w1 /
+  by w2 (two shuffles of the SMALL table); the total N is a scalar
+  aggregate collected to the driver and folded in as a literal (k-means /
+  quantiles precedent) — no single-partition global window anywhere;
+* final ranking is min-count-filtered then TakeOrdered (per-partition
+  partial top-k, no global sort), totally ordered by (lift desc, w1, w2).
+
+Returns the top ``TOP_K`` rows: ``(w1, w2, c_xy, c_left, c_right,
+lift_scaled)``.  Standalone operator with a pytest DuckDB-parity oracle
+(the driver registry sits at its 50-row cap).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Tuple
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tablestructurerec_spark.operators.textstats import tokens_col, tokens_sql
+
+__all__ = [
+    "QUERIES",
+    "q_pmi_bigrams",
+    "pmi_bigrams",
+    "pmi_sql",
+    "MIN_COUNT",
+    "TOP_K",
+    "LIFT_SCALE",
+]
+
+MIN_COUNT = 5
+TOP_K = 50
+LIFT_SCALE = 1_000_000
+
+
+def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-PMI adjacent-token bigrams over ``documents``."""
+    from tablestructurerec_spark.sources.read import read_table
+
+    return pmi_bigrams(read_table(spark, sf_dir, "documents"))
+
+
+def bigram_counts(docs: DataFrame) -> DataFrame:
+    """The one corpus-scan aggregation: adjacent-pair counts."""
+    pairs = docs.select(
+        F.explode(
+            F.expr(
+                "zip_with(toks, slice(toks, 2, greatest(size(toks) - 1, 0)),"
+                " (x, y) -> struct(x AS w1, y AS w2))"
+            )
+        ).alias("p")
+    ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    return (
+        pairs.where(F.col("w2").isNotNull())
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+    )
+
+
+def pmi_bigrams(docs: DataFrame) -> DataFrame:
+    toks = docs.select(tokens_col(F.col("text")).alias("toks"))
+    bg = bigram_counts(toks).persist()
+    try:
+        total = bg.agg(F.sum("c_xy")).collect()[0][0] or 0
+    except Exception:
+        bg.unpersist()
+        raise
+    scored = (
+        bg.withColumn("c_left", F.sum("c_xy").over(Window.partitionBy("w1")))
+        .withColumn("c_right", F.sum("c_xy").over(Window.partitionBy("w2")))
+        .where(F.col("c_xy") >= MIN_COUNT)
+        .withColumn(
+            "lift_scaled",
+            F.expr(
+                f"((c_xy * {LIFT_SCALE}) DIV c_left) * {total} DIV c_right"
+            ).cast("long"),
+        )
+    )
+    return scored.orderBy(
+        F.col("lift_scaled").desc(), "w1", "w2"
+    ).limit(TOP_K)
+
+
+def pmi_sql() -> str:
+    """DuckDB twin of :func:`q_pmi_bigrams` — value-exact."""
+    return f"""
+WITH toks AS (
+  SELECT {tokens_sql()} AS t FROM documents
+), pairs AS (
+  SELECT p['w1'] AS w1, p['w2'] AS w2
+  FROM (SELECT unnest(list_zip(t, t[2:])::STRUCT(w1 VARCHAR, w2 VARCHAR)[]) AS p FROM toks)
+  WHERE p['w2'] IS NOT NULL
+), bg AS (
+  SELECT w1, w2, count(*) AS c_xy FROM pairs GROUP BY w1, w2
+), m AS (
+  SELECT w1, w2, c_xy,
+         sum(c_xy) OVER (PARTITION BY w1) AS c_left,
+         sum(c_xy) OVER (PARTITION BY w2) AS c_right,
+         sum(c_xy) OVER () AS n
+  FROM bg
+)
+SELECT w1, w2, c_xy, CAST(c_left AS BIGINT) AS c_left,
+       CAST(c_right AS BIGINT) AS c_right,
+       CAST(((c_xy * {LIFT_SCALE}) // c_left) * n // c_right AS BIGINT) AS lift_scaled
+FROM m
+WHERE c_xy >= {MIN_COUNT}
+ORDER BY lift_scaled DESC, w1, w2
+LIMIT {TOP_K}
+"""
+
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "t_pmi_bigrams": q_pmi_bigrams,
+}
