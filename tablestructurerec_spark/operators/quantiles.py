@@ -51,6 +51,7 @@ __all__ = [
     "q_exact_quantiles",
     "exact_quantiles",
     "exact_quantiles_with_stats",
+    "refine_quantiles",
     "quantiles_sql",
     "PROBS",
     "N_BUCKETS",
@@ -81,7 +82,23 @@ def exact_quantiles_with_stats(
     count is part of the operator's contract (ceil(log_256(range))) and is
     asserted in tests."""
     vals = docs.select("source", F.length("text").cast("long").alias("v"))
+    targets, n_passes = refine_quantiles(spark, vals, PROBS)
+    out = [(t["source"], t["label"], t["n"], t["lo"]) for t in targets]
+    df = spark.createDataFrame(
+        out, "source STRING, p STRING, n_docs BIGINT, value BIGINT"
+    )
+    return df.orderBy("source", "p"), n_passes
 
+
+def refine_quantiles(
+    spark: SparkSession,
+    vals: DataFrame,
+    probs: List[Tuple[int, int, str]],
+) -> Tuple[List[dict], int]:
+    """The histogram-refinement kernel over any ``(source, v)`` frame —
+    reused by the skew audit (``operators/skewaudit.py``) over per-key row
+    counts.  Returns (resolved targets, pass count); each target dict
+    carries source/label/n and the exact value in ``lo``."""
     stats = (
         vals.groupBy("source")
         .agg(F.count(F.lit(1)).alias("n"), F.min("v").alias("lo"), F.max("v").alias("hi"))
@@ -89,7 +106,7 @@ def exact_quantiles_with_stats(
     )
     targets = []
     for r in stats:
-        for num, den, label in PROBS:
+        for num, den, label in probs:
             targets.append(
                 {
                     "tid": len(targets),
@@ -138,13 +155,7 @@ def exact_quantiles_with_stats(
                     break
                 cum += c
 
-    out = [
-        (t["source"], t["label"], t["n"], t["lo"]) for t in targets
-    ]
-    df = spark.createDataFrame(
-        out, "source STRING, p STRING, n_docs BIGINT, value BIGINT"
-    )
-    return df.orderBy("source", "p"), n_passes
+    return targets, n_passes
 
 
 def quantiles_sql() -> str:
