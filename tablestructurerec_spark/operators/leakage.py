@@ -1,0 +1,103 @@
+"""Split-leakage audit — exact-duplicate document content straddling the
+train / val / test boundary.
+
+Why this audit exists: the content-stable split (``sampling.q_split_assign``)
+hashes the document KEY, so two documents with different ids but identical
+TEXT can land on opposite sides of the split — the textbook eval-set
+contamination that silently inflates benchmark numbers.  Dedup
+(``operators/dedup.py``) and splitting each exist; this operator composes
+them into the check a training pipeline must run before shipping an eval
+set.  (Near-duplicate leakage is the same audit with the content key swapped
+for a MinHash band or paragraph hash — the grouping shape below is
+unchanged; exact-hash is the oracle-exact base case.)
+
+Shape, audited for 100 TB: ONE scan computes the codegen'd content hash +
+split expressions, then a single partial-agg shuffle on the content hash
+carrying three conditional counts per group — never text, never a self-join.
+Leaky groups (train AND eval presence) are a filter over the aggregate.
+
+Returns one row per leaky content group: ``(content_md5, n_docs, n_train,
+n_val, n_test, exemplar_doc_id)``, ordered by content hash.  Standalone
+operator with a pytest DuckDB-parity oracle (the driver registry sits at
+its 50-row cap).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tablestructurerec_spark.operators.sampling import (
+    _hash_uniform,
+    _hash_uniform_sql,
+    _N_BUCKETS,
+    _SPLIT_SALT,
+)
+
+__all__ = ["QUERIES", "q_split_leakage", "split_leakage", "leakage_sql"]
+
+
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tablestructurerec_spark.sources.read import read_table
+
+    return split_leakage(read_table(spark, sf_dir, "documents"))
+
+
+def split_leakage(docs: DataFrame) -> DataFrame:
+    bucket = F.floor(
+        _hash_uniform(_SPLIT_SALT, F.col("doc_id")) * _N_BUCKETS
+    ).cast("int")
+    split = (
+        F.when(bucket <= 7, F.lit("train"))
+        .when(bucket == 8, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    tagged = docs.select(
+        F.md5("text").alias("content_md5"),
+        F.col("doc_id"),
+        split.alias("split"),
+    )
+    grouped = tagged.groupBy("content_md5").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(F.col("split") == "train", 1)).alias("n_train"),
+        F.count(F.when(F.col("split") == "val", 1)).alias("n_val"),
+        F.count(F.when(F.col("split") == "test", 1)).alias("n_test"),
+        F.min("doc_id").alias("exemplar_doc_id"),
+    )
+    return (
+        grouped.where(
+            (F.col("n_train") > 0) & (F.col("n_val") + F.col("n_test") > 0)
+        )
+        .orderBy("content_md5")
+    )
+
+
+def leakage_sql() -> str:
+    """DuckDB twin of :func:`q_split_leakage` — value-exact."""
+    return f"""
+WITH tagged AS (
+  SELECT md5(text) AS content_md5, doc_id,
+         CASE WHEN CAST(floor({_hash_uniform_sql(_SPLIT_SALT, 'doc_id')} * {_N_BUCKETS}) AS INT) <= 7 THEN 'train'
+              WHEN CAST(floor({_hash_uniform_sql(_SPLIT_SALT, 'doc_id')} * {_N_BUCKETS}) AS INT) = 8 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+), grouped AS (
+  SELECT content_md5,
+         count(*) AS n_docs,
+         count(CASE WHEN split = 'train' THEN 1 END) AS n_train,
+         count(CASE WHEN split = 'val' THEN 1 END) AS n_val,
+         count(CASE WHEN split = 'test' THEN 1 END) AS n_test,
+         min(doc_id) AS exemplar_doc_id
+  FROM tagged GROUP BY content_md5
+)
+SELECT * FROM grouped
+WHERE n_train > 0 AND n_val + n_test > 0
+ORDER BY content_md5
+"""
+
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "t_split_leakage": q_split_leakage,
+}
