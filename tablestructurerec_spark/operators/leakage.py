@@ -36,7 +36,34 @@ from tablestructurerec_spark.operators.sampling import (
     _SPLIT_SALT,
 )
 
-__all__ = ["QUERIES", "q_split_leakage", "split_leakage", "leakage_sql"]
+__all__ = [
+    "QUERIES",
+    "q_split_leakage",
+    "split_leakage",
+    "leakage_sql",
+    "q_split_leakage_near",
+    "near_leakage_sql",
+]
+
+
+def _split_expr(doc_id) -> F.Column:
+    """The 8/1/1 split label of a doc_id column — the exact expression
+    ``sampling.q_split_assign`` uses, shared so the audits can never drift
+    from the split they audit."""
+    bucket = F.floor(_hash_uniform(_SPLIT_SALT, doc_id) * _N_BUCKETS).cast("int")
+    return (
+        F.when(bucket <= 7, F.lit("train"))
+        .when(bucket == 8, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
+def _split_case_sql(key: str) -> str:
+    b = f"CAST(floor({_hash_uniform_sql(_SPLIT_SALT, key)} * {_N_BUCKETS}) AS INT)"
+    return (
+        f"CASE WHEN {b} <= 7 THEN 'train' WHEN {b} = 8 THEN 'val'"
+        " ELSE 'test' END"
+    )
 
 
 def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -46,18 +73,10 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def split_leakage(docs: DataFrame) -> DataFrame:
-    bucket = F.floor(
-        _hash_uniform(_SPLIT_SALT, F.col("doc_id")) * _N_BUCKETS
-    ).cast("int")
-    split = (
-        F.when(bucket <= 7, F.lit("train"))
-        .when(bucket == 8, F.lit("val"))
-        .otherwise(F.lit("test"))
-    )
     tagged = docs.select(
         F.md5("text").alias("content_md5"),
         F.col("doc_id"),
-        split.alias("split"),
+        _split_expr(F.col("doc_id")).alias("split"),
     )
     grouped = tagged.groupBy("content_md5").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -79,9 +98,7 @@ def leakage_sql() -> str:
     return f"""
 WITH tagged AS (
   SELECT md5(text) AS content_md5, doc_id,
-         CASE WHEN CAST(floor({_hash_uniform_sql(_SPLIT_SALT, 'doc_id')} * {_N_BUCKETS}) AS INT) <= 7 THEN 'train'
-              WHEN CAST(floor({_hash_uniform_sql(_SPLIT_SALT, 'doc_id')} * {_N_BUCKETS}) AS INT) = 8 THEN 'val'
-              ELSE 'test' END AS split
+         {_split_case_sql('doc_id')} AS split
   FROM documents
 ), grouped AS (
   SELECT content_md5,
@@ -98,6 +115,69 @@ ORDER BY content_md5
 """
 
 
+def q_split_leakage_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-duplicate leakage: MinHash-LSH candidate pairs straddling the
+    boundary — catches the paraphrased/perturbed copies the exact-hash
+    audit cannot.  Same banding as ``dedup.q_dedup_minhash_lsh`` (shared
+    helpers on both engines, so the audit can never drift from the dedup it
+    complements); the self-join runs on (band, bucket) — tiny groups — with
+    the split label attached to each banded row BEFORE the join (a pure
+    doc_id projection, no extra join; the expensive-predicate rule §4b
+    keeps only the cheap split equality in the post-join filter).
+
+    Returns distinct ``(train_doc_id, eval_doc_id, eval_split)``."""
+    from tablestructurerec_spark.operators.dedup import (
+        _BAND_ROWS,
+        _N_HASHES,
+        _banded_docs,
+        _hv_docs,
+    )
+
+    banded = _banded_docs(_hv_docs(spark, sf_dir), _N_HASHES, _BAND_ROWS)
+    banded = banded.withColumn("split", _split_expr(F.col("doc_id"))).repartition(
+        "band", "bucket"
+    )
+    pairs = (
+        banded.alias("x")
+        .join(
+            banded.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.doc_id") != F.col("y.doc_id")),
+        )
+        .where(
+            (F.col("x.split") == "train") & (F.col("y.split") != "train")
+        )
+        .select(
+            F.col("x.doc_id").alias("train_doc_id"),
+            F.col("y.doc_id").alias("eval_doc_id"),
+            F.col("y.split").alias("eval_split"),
+        )
+        .distinct()
+    )
+    return pairs.orderBy("train_doc_id", "eval_doc_id")
+
+
+def near_leakage_sql() -> str:
+    """DuckDB twin of :func:`q_split_leakage_near` — value-exact (reuses the
+    minhash banding CTE)."""
+    from tablestructurerec_spark.operators.dedup import _banded_cte
+
+    return f"""
+{_banded_cte()},
+tagged AS (
+  SELECT doc_id, band, bucket, {_split_case_sql('doc_id')} AS split FROM banded
+)
+SELECT DISTINCT x.doc_id AS train_doc_id, y.doc_id AS eval_doc_id,
+       y.split AS eval_split
+FROM tagged x JOIN tagged y
+  ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id <> y.doc_id
+WHERE x.split = 'train' AND y.split <> 'train'
+ORDER BY train_doc_id, eval_doc_id
+"""
+
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_split_leakage": q_split_leakage,
+    "t_split_leakage_near": q_split_leakage_near,
 }

@@ -10,7 +10,9 @@ import duckdb
 
 from tablestructurerec_spark.operators.leakage import (
     leakage_sql,
+    near_leakage_sql,
     q_split_leakage,
+    q_split_leakage_near,
     split_leakage,
 )
 from tablestructurerec_spark.operators.sampling import q_split_assign
@@ -98,6 +100,68 @@ def test_duckdb_parity_sf(spark):
         f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
     )
     want = [tuple(r) for r in con.execute(leakage_sql()).fetchall()]
+    assert got == want
+
+
+def test_near_dup_leak_found_where_exact_misses(spark, tmp_path):
+    # A perturbed copy (one token changed out of 120) across the boundary:
+    # invisible to the exact-hash audit, caught by the banded audit.
+    base = " ".join(f"w{i} common token stream" for i in range(30))
+    rows = [{"doc_id": i, "text": f"unique {i} " * 30, "source": "s"} for i in range(20)]
+    d0 = _write(tmp_path, rows)
+    sp = _splits(spark, d0, set(range(20)))
+    train_id = next(i for i, s in sp.items() if s == "train")
+    eval_id = next(i for i, s in sp.items() if s in ("val", "test"))
+    rows[train_id] = {"doc_id": train_id, "text": base, "source": "s"}
+    rows[eval_id] = {"doc_id": eval_id, "text": base + " tail", "source": "s"}
+    d = _write(tmp_path, rows)
+    assert q_split_leakage(spark, d).count() == 0  # exact audit blind
+    near = q_split_leakage_near(spark, d).collect()
+    assert (train_id, eval_id) in {(r["train_doc_id"], r["eval_doc_id"]) for r in near}
+    for r in near:
+        assert r["eval_split"] in ("val", "test")
+
+
+def test_near_dup_parity(spark, tmp_path):
+    import random
+
+    rng = random.Random(31)
+    vocab = [f"tok{i}" for i in range(25)]
+    rows = []
+    for i in range(40):
+        words = [vocab[rng.randrange(25)] for _ in range(60)]
+        rows.append({"doc_id": i, "text": " ".join(words), "source": "s"})
+        if i % 4 == 0:  # sprinkle perturbed copies to make buckets collide
+            rows.append(
+                {
+                    "doc_id": 100 + i,
+                    "text": " ".join(words[:-1] + ["tail"]),
+                    "source": "s",
+                }
+            )
+    d = _write(tmp_path, rows)
+    got = [
+        tuple(r)
+        for r in q_split_leakage_near(spark, d).toPandas().itertuples(index=False)
+    ]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'")
+    want = [tuple(r) for r in con.execute(near_leakage_sql()).fetchall()]
+    assert got == want
+
+
+def test_near_dup_parity_sf(spark):
+    got = [
+        tuple(r)
+        for r in q_split_leakage_near(spark, SF_DIR)
+        .toPandas()
+        .itertuples(index=False)
+    ]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
+    )
+    want = [tuple(r) for r in con.execute(near_leakage_sql()).fetchall()]
     assert got == want
 
 
