@@ -246,20 +246,38 @@ def main() -> None:
         bpe_train,
         c4,
         ccnet,
+        charprofile,
+        cms,
         convdedup,
+        convschema,
+        curriculum,
+        datacard,
+        degen,
         distill,
+        drift,
+        hll,
+        kanon,
+        kmv,
+        leakage,
+        luhn,
+        mojibake,
         normalize,
         paradedup,
+        pmi,
         pq,
+        quantiles,
         semdedup,
+        skewaudit,
         zipf,
     )
     from tablestructurerec_spark.operators.dedup import q_dedup_keep_best
     from tablestructurerec_spark.operators.sampling import q_dsir_weights
     from tablestructurerec_spark.operators.textstats import q_lang_id_ngram
 
-    for mod in (bloom, bpe_factored, bpe_train, c4, ccnet, convdedup, distill,
-                normalize, paradedup, pq, semdedup, zipf):
+    for mod in (bloom, bpe_factored, bpe_train, c4, ccnet, charprofile, cms,
+                convdedup, convschema, curriculum, datacard, degen, distill,
+                drift, hll, kanon, kmv, leakage, luhn, mojibake, normalize,
+                paradedup, pmi, pq, quantiles, semdedup, skewaudit, zipf):
         queries.update(mod.QUERIES)  # modules' own keys — no name drift
     queries["t_dsir_weights"] = q_dsir_weights
     queries["t_lang_id_ngram"] = q_lang_id_ngram

@@ -1,0 +1,83 @@
+"""Distribution drift (drift.q_distribution_drift) — python ground truth on
+hand-built day mixes (identical → 0, disjoint → 2e6, known shift), missing-
+category handling, and DuckDB value parity of the join-free fan-out vs the
+naive full-outer oracle (registry at the driver's 50-row cap).
+"""
+
+import datetime
+import os
+from fractions import Fraction
+
+import duckdb
+
+from tablestructurerec_spark.operators.drift import (
+    distribution_drift,
+    drift_sql,
+    q_distribution_drift,
+)
+
+SF_DIR = os.environ.get("TSR_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def _events(spark, day_mixes):
+    """day_mixes: list of dict event_type -> count, one per consecutive day."""
+    rows = []
+    for d, mix in enumerate(day_mixes):
+        ts = datetime.datetime(2024, 1, 1 + d, 12, 0, 0)
+        for et, n in mix.items():
+            for i in range(n):
+                rows.append((len(rows), ts, et))
+    return spark.createDataFrame(
+        rows, "event_id BIGINT, ts TIMESTAMP_NTZ, event_type STRING"
+    )
+
+
+def _truth_ppm(m1, m2):
+    n1, n2 = sum(m1.values()), sum(m2.values())
+    ets = set(m1) | set(m2)
+    num = sum(abs(m1.get(e, 0) * n2 - m2.get(e, 0) * n1) for e in ets)
+    return int(Fraction(num * 1_000_000, n1 * n2))
+
+
+def test_identical_mix_is_zero(spark):
+    mixes = [{"a": 30, "b": 10}, {"a": 60, "b": 20}]  # same proportions
+    got = distribution_drift(_events(spark, mixes), "event_type").collect()
+    assert len(got) == 1
+    assert got[0]["drift_ppm"] == 0
+    assert got[0]["n_types"] == 2
+
+
+def test_disjoint_mix_is_two_million(spark):
+    mixes = [{"a": 25}, {"b": 40}]
+    got = distribution_drift(_events(spark, mixes), "event_type").collect()
+    assert got[0]["drift_ppm"] == 2_000_000
+    assert got[0]["n_types"] == 2  # union of categories
+
+
+def test_known_shift_and_chain(spark):
+    mixes = [
+        {"a": 50, "b": 50},
+        {"a": 75, "b": 25},
+        {"a": 75, "b": 25, "c": 50},
+    ]
+    got = distribution_drift(_events(spark, mixes), "event_type").collect()
+    assert len(got) == 2
+    assert got[0]["drift_ppm"] == _truth_ppm(mixes[0], mixes[1])
+    assert got[1]["drift_ppm"] == _truth_ppm(mixes[1], mixes[2])
+    assert got[1]["n_types"] == 3
+    assert got[0]["day_from"] == datetime.date(2024, 1, 1)
+    assert got[0]["day_to"] == datetime.date(2024, 1, 2)
+
+
+def test_duckdb_parity_sf(spark):
+    got = [
+        tuple(r)
+        for r in q_distribution_drift(spark, SF_DIR)
+        .toPandas()
+        .itertuples(index=False)
+    ]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{SF_DIR}/events.parquet'")
+    want = [tuple(r) for r in con.execute(drift_sql()).fetchall()]
+    assert got == want
+    assert len(got) > 0

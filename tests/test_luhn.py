@@ -1,0 +1,108 @@
+"""Luhn credit-card audit (luhn.q_cc_audit) — known valid/invalid PANs,
+separator handling, length-window rejection, python-Luhn random ground
+truth, and DuckDB value parity (registry at the driver's 50-row cap).
+"""
+
+import os
+import random
+
+import duckdb
+
+from tablestructurerec_spark.operators.luhn import cc_sql, q_cc_audit
+
+SF_DIR = os.environ.get("TSR_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def _write(tmp_path, rows):
+    import pandas as pd
+
+    pd.DataFrame(rows).to_parquet(str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def _luhn_ok(digits: str) -> bool:
+    s = 0
+    for i, d in enumerate(reversed(digits)):
+        v = int(d)
+        if i % 2 == 1:
+            v *= 2
+            if v > 9:
+                v -= 9
+        s += v
+    return s % 10 == 0
+
+
+def _make_valid(rng, n_digits):
+    body = [rng.randrange(10) for _ in range(n_digits - 1)]
+    for check in range(10):
+        if _luhn_ok("".join(map(str, body + [check]))):
+            return "".join(map(str, body + [check]))
+    raise AssertionError
+
+
+def test_known_pans(spark, tmp_path):
+    rows = [
+        {"doc_id": 0, "text": "pay with 4111 1111 1111 1111 today", "source": "s"},
+        {"doc_id": 1, "text": "fake 4111-1111-1111-1112 checksum", "source": "s"},
+        {"doc_id": 2, "text": "no digits at all here", "source": "s"},
+        {"doc_id": 3, "text": "order id 123456789012 is short", "source": "s"},  # 12 digits
+        {"doc_id": 4, "text": "amex 378282246310005 works", "source": "s"},  # valid 15
+    ]
+    d = _write(tmp_path, rows)
+    got = {r["doc_id"]: r for r in q_cc_audit(spark, d).collect()}
+    assert got[0]["n_valid"] == 1 and got[0]["has_valid_cc"]
+    assert got[1]["n_candidates"] == 1 and got[1]["n_valid"] == 0
+    assert 2 not in got and 3 not in got  # no candidate rows at all
+    assert got[4]["has_valid_cc"]
+
+
+def test_random_ground_truth(spark, tmp_path):
+    rng = random.Random(41)
+    rows, truth = [], {}
+    for i in range(60):
+        if i % 3 == 0:
+            pan = _make_valid(rng, rng.choice([13, 15, 16]))
+            valid = True
+        else:
+            pan = "".join(str(rng.randrange(10)) for _ in range(rng.choice([13, 16])))
+            valid = _luhn_ok(pan)
+        rows.append({"doc_id": i, "text": f"ref {pan} end", "source": "s"})
+        truth[i] = valid
+    d = _write(tmp_path, rows)
+    got = {r["doc_id"]: r for r in q_cc_audit(spark, d).collect()}
+    for i, valid in truth.items():
+        assert got[i]["has_valid_cc"] == valid, (i, got[i])
+
+
+def test_duckdb_parity(spark, tmp_path):
+    rng = random.Random(43)
+    rows = []
+    for i in range(40):
+        pan = _make_valid(rng, 16) if i % 2 else "".join(
+            str(rng.randrange(10)) for _ in range(14)
+        )
+        sep = rng.choice(["", " ", "-"])
+        shown = sep.join(pan[j:j + 4] for j in range(0, len(pan), 4))
+        rows.append({"doc_id": i, "text": f"x {shown} y {i}", "source": "s"})
+    d = _write(tmp_path, rows)
+    got = [
+        tuple(r) for r in q_cc_audit(spark, d).toPandas().itertuples(index=False)
+    ]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'")
+    want = [tuple(r) for r in con.execute(cc_sql()).fetchall()]
+    assert got == want
+    assert len(got) == 40
+
+
+def test_duckdb_parity_sf(spark):
+    got = [
+        tuple(r)
+        for r in q_cc_audit(spark, SF_DIR).toPandas().itertuples(index=False)
+    ]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
+    )
+    want = [tuple(r) for r in con.execute(cc_sql()).fetchall()]
+    assert got == want
