@@ -265,9 +265,11 @@ def main() -> None:
         paradedup,
         pmi,
         pq,
+        provenance,
         quantiles,
         semdedup,
         skewaudit,
+        snapshot,
         zipf,
     )
     from tablestructurerec_spark.operators.dedup import q_dedup_keep_best
@@ -277,7 +279,8 @@ def main() -> None:
     for mod in (bloom, bpe_factored, bpe_train, c4, ccnet, charprofile, cms,
                 convdedup, convschema, curriculum, datacard, degen, distill,
                 drift, hll, kanon, kmv, leakage, luhn, mojibake, normalize,
-                paradedup, pmi, pq, quantiles, semdedup, skewaudit, zipf):
+                paradedup, pmi, pq, provenance, quantiles, semdedup,
+                skewaudit, snapshot, zipf):
         queries.update(mod.QUERIES)  # modules' own keys — no name drift
     queries["t_dsir_weights"] = q_dsir_weights
     queries["t_lang_id_ngram"] = q_lang_id_ngram
