@@ -14,9 +14,10 @@ Spark shape, audited for 100 TB — JOIN-FREE day pairing:
 
 * ONE scan → ``groupBy(day, event_type).count()`` partial agg (the only
   corpus-sized edge; carries (day, type, partial) rows);
-* consecutive-day pairing uses NO self-join and NO full-outer join: a dense
-  day index (row_number over the ≤#days distinct-day frame — bounded, tiny)
-  is broadcast-joined onto the counts, then every count row FANS OUT to at
+* consecutive-day pairing uses NO self-join and NO full-outer join: the
+  ≤#days distinct days are collected from the PERSISTED counts aggregate
+  (one corpus scan total), indexed on the driver, and the tiny index is
+  broadcast-joined onto the counts; then every count row FANS OUT to at
   most two (pair, side) contribution rows — (idx, as-current) and
   (idx-1, as-next) — and a second tiny aggregation on (pair, event_type)
   reassembles both sides.  Missing categories on either side materialize as
@@ -49,17 +50,21 @@ def q_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def distribution_drift(events: DataFrame, cat_col: str) -> DataFrame:
+    # persisted: the day-index collect below and the fan-out both read this
+    # aggregate — without the persist Catalyst rebuilds it per consumer
+    # (differently-pruned subtrees defeat exchange reuse, the round-2 / pmi
+    # finding) and the corpus would be scanned three times (found in review)
     counts = (
         events.select(F.col("ts").cast("date").alias("day"), F.col(cat_col).alias("et"))
         .groupBy("day", "et")
         .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
     )
-    days = (
-        counts.select("day")
-        .distinct()
-        .withColumn(
-            "idx", F.row_number().over(Window.orderBy("day")) - 1
-        )
+    day_list = sorted(
+        r["day"] for r in counts.select("day").distinct().collect()
+    )
+    days = events.sparkSession.createDataFrame(
+        [(d, i) for i, d in enumerate(day_list)], "day DATE, idx INT"
     )
     idxed = counts.join(F.broadcast(days), "day")
     # fan-out: a day-idx count row contributes as the CURRENT side of pair
@@ -86,7 +91,7 @@ def distribution_drift(events: DataFrame, cat_col: str) -> DataFrame:
             )
         ).alias("x")
     ).select("x.*")
-    n_days = days.count()
+    n_days = len(day_list)
     paired = (
         contrib.where((F.col("pair") >= 0) & (F.col("pair") < n_days - 1))
         .groupBy("pair", "et")

@@ -30,10 +30,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tablestructurerec_spark.operators.sampling import (
-    _hash_uniform,
-    _hash_uniform_sql,
-    _N_BUCKETS,
-    _SPLIT_SALT,
+    split_label_col,
+    split_label_sql,
 )
 
 __all__ = [
@@ -46,24 +44,10 @@ __all__ = [
 ]
 
 
-def _split_expr(doc_id) -> F.Column:
-    """The 8/1/1 split label of a doc_id column — the exact expression
-    ``sampling.q_split_assign`` uses, shared so the audits can never drift
-    from the split they audit."""
-    bucket = F.floor(_hash_uniform(_SPLIT_SALT, doc_id) * _N_BUCKETS).cast("int")
-    return (
-        F.when(bucket <= 7, F.lit("train"))
-        .when(bucket == 8, F.lit("val"))
-        .otherwise(F.lit("test"))
-    )
-
-
-def _split_case_sql(key: str) -> str:
-    b = f"CAST(floor({_hash_uniform_sql(_SPLIT_SALT, key)} * {_N_BUCKETS}) AS INT)"
-    return (
-        f"CASE WHEN {b} <= 7 THEN 'train' WHEN {b} = 8 THEN 'val'"
-        " ELSE 'test' END"
-    )
+# the split label comes from sampling.split_label_col / split_label_sql —
+# THE single definition of the 8/1/1 split, so audit and split cannot drift
+_split_expr = split_label_col
+_split_case_sql = split_label_sql
 
 
 def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:

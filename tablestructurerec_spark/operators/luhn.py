@@ -7,10 +7,13 @@ redacts none leaks PAN data.  The industry rule is regex candidates +
 Luhn mod-10 checksum.  Both stages here are pure Catalyst expressions —
 no UDF:
 
-* candidates: one alternation-free regex ``[0-9](?:[ -]?[0-9]){12,15}``
-  (digits with optional single space/dash separators) — no alternation and
-  no backreference, so Java regex (Spark) and RE2 (DuckDB) match
-  identically (the hygiene PII discipline);
+* candidates: one alternation-free regex ``[0-9](?:[ -]?[0-9]){12,}`` —
+  UNBOUNDED, so a 20-digit account id is extracted whole and rejected by
+  the 13-16 length guard rather than truncated to a 16-digit prefix that
+  passes Luhn by chance (~10% of long ids would false-positive under a
+  bounded pattern; found in review).  No alternation and no backreference,
+  so Java regex (Spark) and RE2 (DuckDB) match identically (the hygiene
+  PII discipline);
 * checksum: strip separators, reject lengths outside 13..16, then the Luhn
   fold as a two-arg ``transform`` over the REVERSED digit array — the
   (elem, idx) binding of two-arg lambdas (the SCALING.md §2 footgun) is
@@ -33,13 +36,13 @@ from pyspark.sql import functions as F
 
 __all__ = ["QUERIES", "q_cc_audit", "cc_audit", "cc_sql", "CAND_RE"]
 
-CAND_RE = "[0-9](?:[ -]?[0-9]){12,15}"
+CAND_RE = "[0-9](?:[ -]?[0-9]){12,}"
 
 # Luhn over a candidate string column expression: strip separators, digits
 # right-to-left, double every second, subtract 9 above 9, sum % 10 == 0.
 _SPARK_VALID = """
 transform(
-  regexp_extract_all(text, '[0-9](?:[ -]?[0-9]){12,15}', 0),
+  regexp_extract_all(text, '[0-9](?:[ -]?[0-9]){12,}', 0),
   m -> CASE
     WHEN length(regexp_replace(m, '[ -]', '')) BETWEEN 13 AND 16 THEN
       IF(aggregate(
@@ -82,7 +85,7 @@ def cc_sql() -> str:
     return r"""
 WITH cands AS (
   SELECT doc_id,
-         regexp_extract_all(text, '[0-9](?:[ -]?[0-9]){12,15}', 0) AS ms
+         regexp_extract_all(text, '[0-9](?:[ -]?[0-9]){12,}', 0) AS ms
   FROM documents
 ), flags AS (
   SELECT doc_id,

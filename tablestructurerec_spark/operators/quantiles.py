@@ -98,10 +98,19 @@ def refine_quantiles(
     """The histogram-refinement kernel over any ``(source, v)`` frame —
     reused by the skew audit (``operators/skewaudit.py``) over per-key row
     counts.  Returns (resolved targets, pass count); each target dict
-    carries source/label/n and the exact value in ``lo``."""
+    carries source/label/n and the exact value in ``lo``.
+
+    NULL handling (review-hardened): NULL values are excluded from both the
+    rank count and the histogram — counting them in ``n`` while min/max and
+    the buckets ignore them would let k exceed the in-range row count and
+    the loop would silently emit the minimum.  Rows with a NULL group key
+    are dropped too: groupBy would create their target but the broadcast
+    equi-join drops null keys, so that target could never narrow (driver
+    KeyError).  Callers wanting null groups must label them explicitly."""
+    vals = vals.where(F.col("source").isNotNull() & F.col("v").isNotNull())
     stats = (
         vals.groupBy("source")
-        .agg(F.count(F.lit(1)).alias("n"), F.min("v").alias("lo"), F.max("v").alias("hi"))
+        .agg(F.count("v").alias("n"), F.min("v").alias("lo"), F.max("v").alias("hi"))
         .collect()
     )
     targets = []
@@ -165,6 +174,7 @@ def quantiles_sql() -> str:
     return f"""
 WITH base AS (
   SELECT source, CAST(length(text) AS BIGINT) AS v FROM documents
+  WHERE source IS NOT NULL AND text IS NOT NULL
 ), ranked AS (
   SELECT source, v,
          row_number() OVER (PARTITION BY source ORDER BY v) AS rn,

@@ -62,31 +62,47 @@ _SPLIT_SALT = "split:"
 _N_BUCKETS = 10  # buckets 0-7 train, 8 val, 9 test
 
 
-def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    bucket = F.floor(_hash_uniform(_SPLIT_SALT, F.col("doc_id")) * _N_BUCKETS).cast("int")
-    split = (
+def split_bucket_col(key) -> Column:
+    """The 0-9 split bucket of a key column — THE single definition; the
+    leakage audits import these two helpers so audit and split can never
+    drift (review finding: the CASE had been copied in four places)."""
+    return F.floor(_hash_uniform(_SPLIT_SALT, key) * _N_BUCKETS).cast("int")
+
+
+def split_label_col(key) -> Column:
+    bucket = split_bucket_col(key)
+    return (
         F.when(bucket <= 7, F.lit("train"))
         .when(bucket == 8, F.lit("val"))
         .otherwise(F.lit("test"))
     )
+
+
+def split_label_sql(key: str) -> str:
+    b = (
+        f"CAST(floor({_hash_uniform_sql(_SPLIT_SALT, key)} * {_N_BUCKETS}) AS INT)"
+    )
+    return (
+        f"CASE WHEN {b} <= 7 THEN 'train' WHEN {b} = 8 THEN 'val'"
+        " ELSE 'test' END"
+    )
+
+
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
     return docs.select(
-        "doc_id", bucket.alias("bucket"), split.alias("split")
+        "doc_id",
+        split_bucket_col(F.col("doc_id")).alias("bucket"),
+        split_label_col(F.col("doc_id")).alias("split"),
     ).orderBy("doc_id")
 
 
 _SPLIT_ASSIGN_SQL = f"""
-WITH b AS (
-  SELECT doc_id,
-         CAST(floor({_hash_uniform_sql(_SPLIT_SALT, 'doc_id')} * {_N_BUCKETS}) AS INT)
-             AS bucket
-  FROM documents
-)
-SELECT doc_id, bucket,
-       CASE WHEN bucket <= 7 THEN 'train'
-            WHEN bucket = 8 THEN 'val'
-            ELSE 'test' END AS split
-FROM b
+SELECT doc_id,
+       CAST(floor({_hash_uniform_sql(_SPLIT_SALT, 'doc_id')} * {_N_BUCKETS}) AS INT)
+           AS bucket,
+       {split_label_sql('doc_id')} AS split
+FROM documents
 ORDER BY doc_id
 """
 
@@ -297,8 +313,7 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("decision") == "keep")
         .select("doc_id")
     )
-    bucket = F.floor(_hash_uniform(_SPLIT_SALT, F.col("doc_id")) * _N_BUCKETS).cast("int")
-    train = kept.where(bucket <= 7)
+    train = kept.where(split_label_col(F.col("doc_id")) == "train")
     docs = _t(spark, sf_dir, "documents").join(train, "doc_id")
     return _pack_docs(docs)
 
@@ -311,7 +326,7 @@ WITH RECURSIVE filt AS (
 ), tr AS (
   SELECT doc_id FROM filt
   WHERE decision = 'keep'
-    AND CAST(floor({_hash_uniform_sql(_SPLIT_SALT, 'doc_id')} * {_N_BUCKETS}) AS INT) <= 7
+    AND {split_label_sql('doc_id')} = 'train'
 ), t AS (
   SELECT d.doc_id,
          CAST(d.doc_id % {_PACK_SHARDS} AS INT) AS shard,

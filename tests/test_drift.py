@@ -69,6 +69,21 @@ def test_known_shift_and_chain(spark):
     assert got[0]["day_to"] == datetime.date(2024, 1, 2)
 
 
+def test_single_corpus_scan(spark):
+    # Review finding: the day-index subtree and the fan-out each rebuilt the
+    # counts aggregate (plus a third scan for days.count()).  The persisted
+    # counts must feed the runtime plan — no raw scan above the cache.
+    mixes = [{"a": 10, "b": 5}, {"a": 7, "b": 9}, {"a": 3}]
+    out = distribution_drift(_events(spark, mixes), "event_type")
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    runtime = plan.split("InMemoryRelation")[0]
+    assert "InMemoryTableScan" in plan
+    # the counts aggregation must not be rebuilt above the cache: the only
+    # HashAggregate(keys=[day...] lives in the cached build plan below
+    assert "HashAggregate(keys=[day" not in runtime
+
+
 def test_duckdb_parity_sf(spark):
     got = [
         tuple(r)

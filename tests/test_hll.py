@@ -93,11 +93,12 @@ def test_partial_aggregate_plan(spark, tmp_path):
     plan = distinct_hll(
         spark.read.parquet(d + "/documents.parquet")
     )._jdf.queryExecution().executedPlan().toString()
-    first_agg = plan.index("HashAggregate")
-    first_exchange = plan.index("Exchange")
-    assert first_agg > first_exchange  # plan prints top-down: partial agg
-    # sits BELOW (after, in text) the exchange that consumes it
-    assert "partial_max" in plan or "partial" in plan.lower()
+    # plan prints top-down: the partial_max aggregate must sit BELOW (after,
+    # in text) the (source, reg) exchange that consumes it — anchored on the
+    # register exchange specifically, not the orderBy's range exchange
+    # (review finding: the first-Exchange anchor was vacuous)
+    reg_exchange = plan.index("Exchange hashpartitioning(source")
+    assert "partial_max" in plan[reg_exchange:]
 
 
 def test_duckdb_parity(spark):

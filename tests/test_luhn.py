@@ -56,6 +56,22 @@ def test_known_pans(spark, tmp_path):
     assert got[4]["has_valid_cc"]
 
 
+def test_long_ids_not_truncated_to_cards(spark, tmp_path):
+    # Review finding: a bounded {12,15} repetition truncated 17+-digit ids
+    # to a 16-digit prefix that passes Luhn ~10% of the time.  The unbounded
+    # pattern extracts the whole run and the 13-16 guard rejects it.
+    rows = [
+        # 20-digit id whose 16-digit prefix IS Luhn-valid
+        {"doc_id": 0, "text": "account 16487059640235925634 end", "source": "s"},
+        {"doc_id": 1, "text": "id 12345678901234567 x", "source": "s"},  # 17 digits
+    ]
+    d = _write(tmp_path, rows)
+    got = {r["doc_id"]: r for r in q_cc_audit(spark, d).collect()}
+    for i in (0, 1):
+        assert got[i]["n_candidates"] == 1
+        assert got[i]["n_valid"] == 0 and not got[i]["has_valid_cc"]
+
+
 def test_random_ground_truth(spark, tmp_path):
     rng = random.Random(41)
     rows, truth = [], {}

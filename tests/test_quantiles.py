@@ -99,6 +99,23 @@ def test_per_pass_plan_broadcasts_targets(spark, tmp_path):
     assert "SortMergeJoin" not in plan
 
 
+def test_null_values_and_null_keys_excluded(spark, tmp_path):
+    # Review finding: NULL text counted in n but absent from the histogram
+    # made the loop emit the MINIMUM; NULL source keys crashed the driver.
+    rows = [
+        {"doc_id": i, "text": "x" * (i + 1), "source": "s"} for i in range(9)
+    ]
+    rows.append({"doc_id": 9, "text": None, "source": "s"})
+    rows.append({"doc_id": 10, "text": "zzz", "source": None})
+    d = _write(tmp_path, rows)
+    got = {r["p"]: r for r in q_exact_quantiles(spark, d).collect()}
+    # only the 9 non-null 's' rows count: lengths 1..9
+    assert got["p99"]["value"] == 9
+    assert got["p50"]["value"] == 5
+    assert got["p50"]["n_docs"] == 9
+    assert len(got) == 3  # the null-source group is dropped, not crashed
+
+
 def test_duckdb_parity(spark):
     got = [
         tuple(r)
