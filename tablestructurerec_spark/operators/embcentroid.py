@@ -1,0 +1,119 @@
+"""Per-label embedding centroids + pairwise centroid cosine — the
+embedding-space hygiene check (are the labels separable? did an ingest mix
+two populations?) run before any ANN/semdedup pass trusts the labels.
+
+Float discipline (the refit-literal lesson generalized): a cross-row float
+SUM is reduction-order-dependent, so a naive centroid can never carry a
+value-exact oracle.  Here every embedding value is integer-scaled map-side
+(``floor(v * 10^6 + 0.5)`` — floor+0.5, not banker's round, identical in
+both engines) and the per-(label, dim) aggregation sums INTEGERS — exact
+under any reduction order.  Cosine is scale-invariant, so the cosine of the
+integer per-dim AVERAGES (``sum DIV n``, exact) equals the centroid cosine
+to within the stated 1e-6 quantization; dot/norm stay in BIGINT (envelope:
+|dim| <= ~2*10^6 scaled, D=512 → dot <= 2*10^15), and the final
+``dot / (sqrt(na) * sqrt(nb))`` is deterministic IEEE double on exact
+integers — identical in Spark and DuckDB, rounded to 6dp.
+
+Spark shape, audited for 100 TB: posexplode → ``groupBy(label, dim)`` with
+map-side partial aggregation (the only corpus-sized edge carries (label,
+dim, partial-sum) — labels × D rows per map partition, not vectors); the
+centroid frame (labels × D) is tiny, and the pairwise self-join on dim runs
+over it, never over the corpus.
+
+Returns ``(label_a, label_b, n_a, n_b, cos)`` for label_a < label_b,
+ordered.  Standalone operator with a pytest DuckDB-parity oracle (the
+driver registry sits at its 50-row cap).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["QUERIES", "q_label_centroid_sim", "label_centroid_sim", "centroid_sql"]
+
+_SCALE = 1_000_000
+
+
+def q_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tablestructurerec_spark.sources.read import read_table
+
+    return label_centroid_sim(read_table(spark, sf_dir, "embeddings"))
+
+
+def label_centroid_sim(embs: DataFrame) -> DataFrame:
+    dims = embs.select(
+        "label", F.posexplode("embedding").alias("dim", "v")
+    ).select(
+        "label",
+        "dim",
+        F.expr(f"CAST(floor(CAST(v AS DOUBLE) * {_SCALE} + 0.5) AS BIGINT)").alias(
+            "sv"
+        ),
+    )
+    cent = dims.groupBy("label", "dim").agg(
+        F.sum("sv").alias("s"), F.count(F.lit(1)).alias("n")
+    ).select(
+        "label", "dim", F.expr("s DIV n").alias("c"), "n"
+    )
+    a, b = cent.alias("a"), cent.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.dim") == F.col("b.dim"))
+            & (F.col("a.label") < F.col("b.label")),
+        )
+        .groupBy(
+            F.col("a.label").alias("label_a"), F.col("b.label").alias("label_b")
+        )
+        .agg(
+            F.max("a.n").alias("n_a"),
+            F.max("b.n").alias("n_b"),
+            F.sum(F.col("a.c") * F.col("b.c")).alias("dot"),
+            F.sum(F.col("a.c") * F.col("a.c")).alias("na"),
+            F.sum(F.col("b.c") * F.col("b.c")).alias("nb"),
+        )
+    )
+    return pairs.select(
+        "label_a",
+        "label_b",
+        "n_a",
+        "n_b",
+        F.round(
+            F.col("dot") / (F.sqrt(F.col("na")) * F.sqrt(F.col("nb"))), 6
+        ).alias("cos"),
+    ).orderBy("label_a", "label_b")
+
+
+def centroid_sql() -> str:
+    """DuckDB twin of :func:`q_label_centroid_sim` — value-exact."""
+    return f"""
+WITH dims AS (
+  SELECT label,
+         generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {_SCALE} + 0.5) AS BIGINT) AS sv
+  FROM embeddings
+), cent AS (
+  SELECT label, dim, sum(sv) // count(*) AS c, count(*) AS n
+  FROM dims GROUP BY label, dim
+), pairs AS (
+  SELECT a.label AS label_a, b.label AS label_b,
+         max(a.n) AS n_a, max(b.n) AS n_b,
+         sum(a.c * b.c) AS dot,
+         sum(a.c * a.c) AS na,
+         sum(b.c * b.c) AS nb
+  FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
+  GROUP BY a.label, b.label
+)
+SELECT label_a, label_b, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       round(dot / (sqrt(na) * sqrt(nb)), 6) AS cos
+FROM pairs
+ORDER BY label_a, label_b
+"""
+
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "t_label_centroid_sim": q_label_centroid_sim,
+}
