@@ -256,6 +256,7 @@ def main() -> None:
         distill,
         drift,
         embcentroid,
+        health,
         hll,
         kanon,
         kmv,
@@ -279,7 +280,8 @@ def main() -> None:
 
     for mod in (bloom, bpe_factored, bpe_train, c4, ccnet, charprofile, cms,
                 convdedup, convschema, curriculum, datacard, degen, distill,
-                drift, embcentroid, hll, kanon, kmv, leakage, luhn, mojibake, normalize,
+                drift, embcentroid, health, hll, kanon, kmv, leakage, luhn,
+                mojibake, normalize,
                 paradedup, pmi, pq, provenance, quantiles, semdedup,
                 skewaudit, snapshot, zipf):
         queries.update(mod.QUERIES)  # modules' own keys — no name drift
