@@ -12,7 +12,11 @@ integer per-dim AVERAGES (``sum DIV n``, exact) equals the centroid cosine
 to within the stated 1e-6 quantization; dot/norm stay in BIGINT (envelope:
 |dim| <= ~2*10^6 scaled, D=512 → dot <= 2*10^15), and the final
 ``dot / (sqrt(na) * sqrt(nb))`` is deterministic IEEE double on exact
-integers — identical in Spark and DuckDB, rounded to 6dp.
+integers — identical in Spark and DuckDB, surfaced UNROUNDED (decimal
+rounding, not the arithmetic, is the cross-engine hazard).  The envelope
+is enforced by a driver-side guard over the tiny centroid frame, which
+also rejects ragged per-label dimensionality instead of silently cosining
+the shared prefix.  Cauchy–Schwarz keeps |dot| under the guarded norms.
 
 Spark shape, audited for 100 TB: posexplode → ``groupBy(label, dim)`` with
 map-side partial aggregation (the only corpus-sized edge carries (label,
@@ -57,7 +61,32 @@ def label_centroid_sim(embs: DataFrame) -> DataFrame:
         F.sum("sv").alias("s"), F.count(F.lit(1)).alias("n")
     ).select(
         "label", "dim", F.expr("s DIV n").alias("c"), "n"
-    )
+    ).persist()  # tiny (labels x D); the guard collect + result both read it
+    # Review-hardened guards, both driver-side over the tiny frame:
+    # (a) BIGINT envelope is ENFORCED, not just documented — Spark's non-ANSI
+    #     sum would wrap silently on |v| ≳ 134 at D=512 while DuckDB promotes
+    #     to HUGEINT, breaking parity with garbage cosines;
+    # (b) ragged dimensionality across labels is THE ingest pathology this
+    #     check exists for — the dim equi-join would silently cosine only
+    #     the shared prefix, so it must surface as an error instead.
+    g = cent.groupBy("label").agg(
+        F.max(F.abs(F.col("c"))).alias("mx"), F.count(F.lit(1)).alias("d")
+    ).collect()
+    if g:
+        max_c = max(r["mx"] for r in g)
+        max_d = max(r["d"] for r in g)
+        if max_c * max_c * max_d >= (1 << 63):
+            raise ValueError(
+                f"embedding magnitude too large for the BIGINT envelope "
+                f"(max |scaled dim| {max_c}, D={max_d}); normalize vectors "
+                f"or lower the scale before centroid cosine"
+            )
+        if len({r["d"] for r in g}) > 1:
+            raise ValueError(
+                "labels have differing dimensionality "
+                f"({sorted((r['label'], r['d']) for r in g)}); mixed "
+                "populations must be fixed upstream, not averaged away"
+            )
     a, b = cent.alias("a"), cent.alias("b")
     pairs = (
         a.join(
@@ -81,9 +110,12 @@ def label_centroid_sim(embs: DataFrame) -> DataFrame:
         "label_b",
         "n_a",
         "n_b",
-        F.round(
-            F.col("dot") / (F.sqrt(F.col("na")) * F.sqrt(F.col("nb"))), 6
-        ).alias("cos"),
+        # raw IEEE double, deliberately UNROUNDED: div/sqrt/mul on exact
+        # integer inputs are correctly-rounded and bit-identical in both
+        # engines, while round(x, 6) is a cross-engine tie hazard (Spark
+        # HALF_UP on the shortest decimal repr vs DuckDB's binary rounding
+        # — review finding)
+        (F.col("dot") / (F.sqrt(F.col("na")) * F.sqrt(F.col("nb")))).alias("cos"),
     ).orderBy("label_a", "label_b")
 
 
@@ -108,7 +140,7 @@ WITH dims AS (
   GROUP BY a.label, b.label
 )
 SELECT label_a, label_b, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
-       round(dot / (sqrt(na) * sqrt(nb)), 6) AS cos
+       CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS cos
 FROM pairs
 ORDER BY label_a, label_b
 """

@@ -35,11 +35,10 @@ from tablestructurerec_spark.operators.degen import (
 )
 from tablestructurerec_spark.operators.luhn import _SPARK_VALID, cc_sql
 from tablestructurerec_spark.operators.mojibake import (
-    _C1,
-    _DOUBLE,
     _MOJIBAKE_SQL,
-    _REPL,
-    DAMAGE_PER_KCHAR,
+    damage_count_cols,
+    damage_score_col,
+    is_damaged_col,
 )
 
 __all__ = ["QUERIES", "q_source_health", "source_health", "health_sql"]
@@ -54,27 +53,12 @@ def q_source_health(spark: SparkSession, sf_dir: str) -> DataFrame:
 def source_health(docs: DataFrame) -> DataFrame:
     from tablestructurerec_spark.operators.textstats import tokens_col
 
-    def n(pat):
-        return F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), F.lit(0)))
-
     staged = docs.select(
         "source",
         "text",
         tokens_col(F.col("text")).alias("toks"),
-        F.length("text").cast("long").alias("n_chars"),
-        n(_REPL).cast("int").alias("n_replacement"),
-        n(_C1).cast("int").alias("n_c1"),
-        n(_DOUBLE).cast("int").alias("n_double"),
+        *damage_count_cols(),
     )
-    damage = F.when(
-        F.col("n_chars") > 0,
-        F.round(
-            (F.col("n_replacement") + F.col("n_c1") + F.col("n_double"))
-            * 1000.0
-            / F.col("n_chars"),
-            6,
-        ),
-    ).otherwise(0.0)
     flags = staged.select(
         "source",
         (
@@ -83,9 +67,7 @@ def source_health(docs: DataFrame) -> DataFrame:
         F.expr(
             f"aggregate({_SPARK_VALID}, 0, (a, x) -> a + x) > 0"
         ).alias("has_cc"),
-        (
-            (F.col("n_replacement") > 0) | (damage > DAMAGE_PER_KCHAR)
-        ).alias("is_damaged"),
+        is_damaged_col(damage_score_col()).alias("is_damaged"),
     )
     agg = flags.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),

@@ -30,7 +30,15 @@ from typing import Callable, Dict
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["QUERIES", "q_encoding_damage", "_MOJIBAKE_SQL", "DAMAGE_PER_KCHAR"]
+__all__ = [
+    "QUERIES",
+    "q_encoding_damage",
+    "_MOJIBAKE_SQL",
+    "DAMAGE_PER_KCHAR",
+    "damage_count_cols",
+    "damage_score_col",
+    "is_damaged_col",
+]
 
 # flag threshold: >0.5 damage signals per 1000 chars, or ANY replacement char
 DAMAGE_PER_KCHAR = 0.5
@@ -40,24 +48,24 @@ _C1 = r"[\x{0080}-\x{009F}]"
 _DOUBLE = r"[\x{00C2}\x{00C3}][\x{0080}-\x{00BF}]"
 
 
-def q_encoding_damage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document ``(doc_id, n_chars, n_replacement, n_c1, n_double,
-    damage_per_kchar, is_damaged)``."""
-    from tablestructurerec_spark.sources.read import read_table
-
-    docs = read_table(spark, sf_dir, "documents")
+def damage_count_cols():
+    """The staged per-doc damage counters over a ``text`` column — shared
+    with the source-health report so audit and report cannot drift."""
 
     def n(pat):
         return F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), F.lit(0)))
 
-    staged = docs.select(
-        "doc_id",
+    return [
         F.length("text").cast("long").alias("n_chars"),
         n(_REPL).cast("int").alias("n_replacement"),
         n(_C1).cast("int").alias("n_c1"),
         n(_DOUBLE).cast("int").alias("n_double"),
-    )
-    score = F.when(
+    ]
+
+
+def damage_score_col():
+    """damage_per_kchar over the staged counter columns."""
+    return F.when(
         F.col("n_chars") > 0,
         F.round(
             (F.col("n_replacement") + F.col("n_c1") + F.col("n_double"))
@@ -66,6 +74,20 @@ def q_encoding_damage(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ),
     ).otherwise(0.0)
+
+
+def is_damaged_col(score):
+    return (F.col("n_replacement") > 0) | (score > DAMAGE_PER_KCHAR)
+
+
+def q_encoding_damage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document ``(doc_id, n_chars, n_replacement, n_c1, n_double,
+    damage_per_kchar, is_damaged)``."""
+    from tablestructurerec_spark.sources.read import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    staged = docs.select("doc_id", *damage_count_cols())
+    score = damage_score_col()
     return (
         staged.select(
             "doc_id",
@@ -75,11 +97,7 @@ def q_encoding_damage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_double",
             score.alias("damage_per_kchar"),
         )
-        .withColumn(
-            "is_damaged",
-            (F.col("n_replacement") > 0)
-            | (F.col("damage_per_kchar") > DAMAGE_PER_KCHAR),
-        )
+        .withColumn("is_damaged", is_damaged_col(F.col("damage_per_kchar")))
         .orderBy("doc_id")
     )
 

@@ -73,6 +73,34 @@ def test_numpy_ground_truth_with_negatives(spark, tmp_path):
             assert abs(got[(a, b)] - want) < 1e-3, (a, b, got[(a, b)], want)
 
 
+def test_overflow_envelope_enforced(spark, tmp_path):
+    import pytest
+
+    # |v| ~ 4000 at D=512 blows the BIGINT envelope for sum(c*c): must be a
+    # loud error, not a silently wrapped cosine (review finding).
+    d = _write(
+        tmp_path,
+        _rows({0: [[4000.0] * 512] * 3, 1: [[-4000.0] * 512] * 3}),
+    )
+    with pytest.raises(ValueError, match="envelope"):
+        q_label_centroid_sim(spark, d).collect()
+
+
+def test_ragged_dims_rejected(spark, tmp_path):
+    import pytest
+
+    rows = _rows({0: [[1.0, 0.5, 0.2, 0.1]] * 3})
+    rows += [
+        {"vec_id": 100 + i,
+         "embedding": np.asarray([1.0, 0.5], dtype=np.float32),
+         "label": 1}
+        for i in range(3)
+    ]
+    d = _write(tmp_path, rows)
+    with pytest.raises(ValueError, match="dimensionality"):
+        q_label_centroid_sim(spark, d).collect()
+
+
 def test_duckdb_parity_random(spark, tmp_path):
     rng = random.Random(15)
     vecs = {

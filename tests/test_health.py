@@ -56,6 +56,34 @@ def test_single_scan_single_exchange(spark, tmp_path):
     assert runtime.count("Exchange hashpartitioning") == 1
 
 
+def test_duckdb_parity_planted(spark, tmp_path):
+    # Review finding: the sf fixture has zero positive signals, so parity
+    # there never exercises the composed oracle's positive paths (join
+    # alignment, coalesce polarity).  This fixture fires every signal.
+    rows = [
+        {"doc_id": 0, "text": "clean text body here", "source": "good"},
+        {"doc_id": 1, "text": "also perfectly fine prose", "source": "good"},
+        {"doc_id": 2, "text": "loop loop loop loop loop end", "source": "bad"},
+        {"doc_id": 3, "text": "card 4111 1111 1111 1111 leaked", "source": "bad"},
+        {"doc_id": 4, "text": "damaged ��� text", "source": "bad"},
+        {"doc_id": 5, "text": "one okay doc", "source": "bad"},
+        {"doc_id": 6, "text": "ping pong ping pong ping pong ping pong ping "
+                              "pong and 378282246310005 too", "source": "mixed"},
+    ]
+    d = _write(tmp_path, rows)
+    got = [
+        tuple(r)
+        for r in q_source_health(spark, d).toPandas().itertuples(index=False)
+    ]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'")
+    want = [tuple(r) for r in con.execute(health_sql()).fetchall()]
+    assert got == want
+    by_src = {r[0]: r for r in got}
+    assert by_src["bad"][2] == 1 and by_src["bad"][3] == 1 and by_src["bad"][4] == 1
+    assert by_src["mixed"][2] == 1 and by_src["mixed"][3] == 1  # degen + cc
+
+
 def test_duckdb_parity_sf(spark):
     got = [
         tuple(r)
