@@ -311,6 +311,10 @@ def main() -> None:
         "metric": "bench_suite_seconds",
         "value": total,
         "unit": "sec",
+        # the suite GREW round over round (r1 ~40, r2 ~53, r3 ~86 timed
+        # queries) — totals across rounds are not comparable; compare the
+        # per-query map (and mind the shared box's ~2x contention phases)
+        "n_queries": len(timings),
         "queries": timings,
         "sf": sf,
         "cpus": CPUS,
