@@ -260,6 +260,7 @@ def main() -> None:
         hll,
         kanon,
         kmv,
+        langscript,
         leakage,
         luhn,
         mojibake,
@@ -280,7 +281,7 @@ def main() -> None:
 
     for mod in (bloom, bpe_factored, bpe_train, c4, ccnet, charprofile, cms,
                 convdedup, convschema, curriculum, datacard, degen, distill,
-                drift, embcentroid, health, hll, kanon, kmv, leakage, luhn,
+                drift, embcentroid, health, hll, kanon, kmv, langscript, leakage, luhn,
                 mojibake, normalize,
                 paradedup, pmi, pq, provenance, quantiles, semdedup,
                 skewaudit, snapshot, zipf):

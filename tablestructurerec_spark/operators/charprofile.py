@@ -25,7 +25,16 @@ from typing import Callable, Dict, List, Tuple
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["QUERIES", "q_char_profile", "_CHARPROFILE_SQL", "SCRIPT_CLASSES"]
+__all__ = [
+    "QUERIES",
+    "q_char_profile",
+    "_CHARPROFILE_SQL",
+    "SCRIPT_CLASSES",
+    "script_count_cols",
+    "dominant_script_col",
+    "script_counts_sql",
+    "dominant_sql",
+]
 
 # (name, regex char class) — explicit ranges only, identical in Java + RE2.
 SCRIPT_CLASSES: List[Tuple[str, str]] = [
@@ -43,6 +52,45 @@ _ASCII = r"[\x{0000}-\x{007F}]"
 _WS = r"[ \t\n\r\f]"
 
 
+def script_count_cols():
+    """The staged per-script counter columns over ``text`` — shared with the
+    lang-script consistency audit (`operators/langscript.py`)."""
+
+    def n(pat):
+        return F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), F.lit(0)))
+
+    return [
+        n(pat).cast("long").alias(f"n_{name}") for name, pat in SCRIPT_CLASSES
+    ]
+
+
+def dominant_script_col():
+    """Fixed-priority dominant script over the staged counter columns."""
+    top = F.greatest(*[F.col(f"n_{name}") for name, _ in SCRIPT_CLASSES])
+    dominant = F.when(top == 0, F.lit("none"))
+    for name, _ in SCRIPT_CLASSES:  # fixed priority order breaks ties
+        dominant = dominant.when(F.col(f"n_{name}") == top, F.lit(name))
+    return dominant
+
+
+def script_counts_sql() -> str:
+    """DuckDB twin of :func:`script_count_cols` (a SELECT-list fragment)."""
+    return ",\n         ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{name}"
+        for name, pat in SCRIPT_CLASSES
+    )
+
+
+def dominant_sql() -> str:
+    """DuckDB twin of :func:`dominant_script_col`."""
+    top = "greatest(" + ", ".join(f"n_{name}" for name, _ in SCRIPT_CLASSES) + ")"
+    dom = "CASE WHEN " + top + " = 0 THEN 'none'\n"
+    for name, _ in SCRIPT_CLASSES:
+        dom += f"           WHEN n_{name} = {top} THEN '{name}'\n"
+    dom += "      END"
+    return dom
+
+
 def q_char_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document script counts, non-ASCII fraction, dominant script."""
     from tablestructurerec_spark.sources.read import read_table
@@ -55,15 +103,12 @@ def q_char_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged = docs.select(
         "doc_id",
         F.length("text").cast("long").alias("n_chars"),
-        *[n(pat).cast("long").alias(f"n_{name}") for name, pat in SCRIPT_CLASSES],
+        *script_count_cols(),
         n(_DIGIT).cast("long").alias("n_digit"),
         n(_WS).cast("long").alias("n_ws"),
         n(_ASCII).cast("long").alias("n_ascii"),
     )
-    top = F.greatest(*[F.col(f"n_{name}") for name, _ in SCRIPT_CLASSES])
-    dominant = F.when(top == 0, F.lit("none"))
-    for name, _ in SCRIPT_CLASSES:  # fixed priority order breaks ties
-        dominant = dominant.when(F.col(f"n_{name}") == top, F.lit(name))
+    dominant = dominant_script_col()
     non_ascii = F.when(
         F.col("n_chars") > 0,
         F.round(
@@ -82,15 +127,8 @@ def q_char_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql() -> str:
-    counts = ",\n         ".join(
-        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{name}"
-        for name, pat in SCRIPT_CLASSES
-    )
-    top = "greatest(" + ", ".join(f"n_{name}" for name, _ in SCRIPT_CLASSES) + ")"
-    dom = "CASE WHEN " + top + " = 0 THEN 'none'\n"
-    for name, _ in SCRIPT_CLASSES:
-        dom += f"           WHEN n_{name} = {top} THEN '{name}'\n"
-    dom += "      END"
+    counts = script_counts_sql()
+    dom = dominant_sql()
     return f"""
 WITH staged AS (
   SELECT doc_id,
