@@ -24,7 +24,10 @@ Spark shape, audited for 100 TB — JOIN-FREE day pairing:
   zeros automatically (a one-sided contribution), which a join formulation
   needs FULL OUTER + coalesce to get right;
 * per-pair totals are window sums over the pair partition (tiny frame),
-  the final per-pair aggregate emits the stat.
+  the final per-pair aggregate emits the stat; the default face eagerly
+  collects the bounded (≤ #days) result and RELEASES the persist in a
+  ``finally`` (``materialize=False`` hands the lazy plan — and the
+  cache's lifetime — to the caller).
 
 Returns one row per consecutive-day pair: ``(day_from, day_to, n_from,
 n_to, n_types, drift_ppm)``, ordered by day_from.  Standalone operator with
@@ -49,7 +52,15 @@ def q_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def distribution_drift(events: DataFrame, cat_col: str) -> DataFrame:
+def distribution_drift(
+    events: DataFrame, cat_col: str, materialize: bool = True
+) -> DataFrame:
+    """By default the bounded result (≤ #days rows) is eagerly collected
+    and the persisted counts table released in a ``finally`` (ADVICE r3:
+    a long session otherwise accumulates live caches with no release
+    path).  ``materialize=False`` returns the lazy plan instead — the
+    CALLER then owns the persisted counts table's lifetime (the
+    plan-inspection face used by the scan-once pin test)."""
     # persisted: the day-index collect below and the fan-out both read this
     # aggregate — without the persist Catalyst rebuilds it per consumer
     # (differently-pruned subtrees defeat exchange reuse, the round-2 / pmi
@@ -60,10 +71,24 @@ def distribution_drift(events: DataFrame, cat_col: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c"))
         .persist()
     )
+    keep = False
+    try:
+        result = _drift_from_counts(events.sparkSession, counts)
+        if not materialize:
+            keep = True
+            return result
+        rows, schema = result.collect(), result.schema
+    finally:
+        if not keep:
+            counts.unpersist()
+    return events.sparkSession.createDataFrame(rows, schema)
+
+
+def _drift_from_counts(spark: SparkSession, counts: DataFrame) -> DataFrame:
     day_list = sorted(
         r["day"] for r in counts.select("day").distinct().collect()
     )
-    days = events.sparkSession.createDataFrame(
+    days = spark.createDataFrame(
         [(d, i) for i, d in enumerate(day_list)], "day DATE, idx INT"
     )
     idxed = counts.join(F.broadcast(days), "day")

@@ -15,8 +15,11 @@ to within the stated 1e-6 quantization; dot/norm stay in BIGINT (envelope:
 integers — identical in Spark and DuckDB, surfaced UNROUNDED (decimal
 rounding, not the arithmetic, is the cross-engine hazard).  The envelope
 is enforced by a driver-side guard over the tiny centroid frame, which
-also rejects ragged per-label dimensionality instead of silently cosining
-the shared prefix.  Cauchy–Schwarz keeps |dot| under the guarded norms.
+also rejects ragged dimensionality — ACROSS labels (the dim equi-join
+would silently cosine only the shared prefix) and WITHIN a label (mixed
+vector lengths make per-dim support vary, so the centroid would average
+differing populations per dimension; detected as non-constant n across a
+label's dims, since posexplode makes per-dim n non-increasing).  Cauchy–Schwarz keeps |dot| under the guarded norms.
 
 Spark shape, audited for 100 TB: posexplode → ``groupBy(label, dim)`` with
 map-side partial aggregation (the only corpus-sized edge carries (label,
@@ -47,7 +50,12 @@ def q_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_centroid_sim(read_table(spark, sf_dir, "embeddings"))
 
 
-def label_centroid_sim(embs: DataFrame) -> DataFrame:
+def label_centroid_sim(embs: DataFrame, materialize: bool = True) -> DataFrame:
+    """By default the bounded result (≤ labels² pair rows) is eagerly
+    collected and the persisted centroid frame released in a ``finally``
+    (ADVICE r3: a long session otherwise accumulates live caches with no
+    release path).  ``materialize=False`` returns the lazy plan instead —
+    the CALLER then owns the persisted centroid frame's lifetime."""
     dims = embs.select(
         "label", F.posexplode("embedding").alias("dim", "v")
     ).select(
@@ -62,6 +70,20 @@ def label_centroid_sim(embs: DataFrame) -> DataFrame:
     ).select(
         "label", "dim", F.expr("s DIV n").alias("c"), "n"
     ).persist()  # tiny (labels x D); the guard collect + result both read it
+    keep = False
+    try:
+        result = _guarded_pairs(cent)
+        if not materialize:
+            keep = True
+            return result
+        rows, schema = result.collect(), result.schema
+    finally:
+        if not keep:
+            cent.unpersist()
+    return embs.sparkSession.createDataFrame(rows, schema)
+
+
+def _guarded_pairs(cent: DataFrame) -> DataFrame:
     # Review-hardened guards, both driver-side over the tiny frame:
     # (a) BIGINT envelope is ENFORCED, not just documented — Spark's non-ANSI
     #     sum would wrap silently on |v| ≳ 134 at D=512 while DuckDB promotes
@@ -70,7 +92,10 @@ def label_centroid_sim(embs: DataFrame) -> DataFrame:
     #     check exists for — the dim equi-join would silently cosine only
     #     the shared prefix, so it must surface as an error instead.
     g = cent.groupBy("label").agg(
-        F.max(F.abs(F.col("c"))).alias("mx"), F.count(F.lit(1)).alias("d")
+        F.max(F.abs(F.col("c"))).alias("mx"),
+        F.count(F.lit(1)).alias("d"),
+        F.min("n").alias("n_min"),
+        F.max("n").alias("n_max"),
     ).collect()
     if g:
         max_c = max(r["mx"] for r in g)
@@ -86,6 +111,22 @@ def label_centroid_sim(embs: DataFrame) -> DataFrame:
                 "labels have differing dimensionality "
                 f"({sorted((r['label'], r['d']) for r in g)}); mixed "
                 "populations must be fixed upstream, not averaged away"
+            )
+        # Intra-label raggedness (ADVICE r3): posexplode makes per-dim n
+        # non-increasing in dim, so vectors of MIXED lengths inside one
+        # label show up as n varying across that label's dims — the
+        # centroid would then average differing support per dimension and
+        # max(a.n) would misreport the population size.  Constant n per
+        # label is the raggedness-free certificate.
+        ragged = sorted(
+            (r["label"], r["n_min"], r["n_max"]) for r in g
+            if r["n_min"] != r["n_max"]
+        )
+        if ragged:
+            raise ValueError(
+                "labels contain vectors of differing dimensionality "
+                f"((label, min n, max n) = {ragged}); mixed-length vectors "
+                "inside a label must be fixed upstream, not averaged away"
             )
     a, b = cent.alias("a"), cent.alias("b")
     pairs = (

@@ -94,7 +94,12 @@ def lang_script_consistency(docs: DataFrame) -> DataFrame:
         (
             F.coalesce(expected, F.lit("unknown")) == F.col("dominant_script")
         ).alias("is_consistent"),
-    ).orderBy("lang", "dominant_script")
+        # NULLS LAST to match DuckDB's ASC default (Spark defaults to NULLS
+        # FIRST, breaking row-order parity on corpora with null lang labels
+        # — ADVICE r3; element_at/CASE already agree on the 'unknown' value)
+    ).orderBy(
+        F.asc_nulls_last("lang"), F.asc_nulls_last("dominant_script")
+    )
 
 
 def langscript_sql() -> str:

@@ -7,13 +7,29 @@ redacts none leaks PAN data.  The industry rule is regex candidates +
 Luhn mod-10 checksum.  Both stages here are pure Catalyst expressions —
 no UDF:
 
-* candidates: one alternation-free regex ``[0-9](?:[ -]?[0-9]){12,}`` —
-  UNBOUNDED, so a 20-digit account id is extracted whole and rejected by
-  the 13-16 length guard rather than truncated to a 16-digit prefix that
-  passes Luhn by chance (~10% of long ids would false-positive under a
-  bounded pattern; found in review).  No alternation and no backreference,
-  so Java regex (Spark) and RE2 (DuckDB) match identically (the hygiene
-  PII discipline);
+* candidates: five ordered alternatives — 4-4-4-x and Amex 4-6-5
+  groupings, each with a SINGLE consistent separator (all-space or
+  all-hyphen), plus an UNBOUNDED contiguous run ``[0-9]{13,}``.  The
+  contiguous alternative stays unbounded, so a 20-digit account id is
+  extracted whole and rejected by the 13-16 length guard rather than
+  truncated to a 16-digit prefix that passes Luhn by chance (~10% of long
+  ids would false-positive under a bounded pattern; found in review).
+  Separators are only accepted at group boundaries with a consistent
+  separator: an earlier fully unbounded ``[0-9](?:[ -]?[0-9]){12,}``
+  merged a valid card with ANY adjacent space/hyphen-separated digit
+  group ("4111111111111111 99", "...1111 exp 2023", "1234 4111-...")
+  into one 18+-digit run the length guard then rejected — a false
+  NEGATIVE that let real PANs past the audit (ADVICE r3).  Residual
+  documented merges (all still extract-whole-and-reject, the original
+  anti-truncation intent): digits glued with NO separator
+  ("12344111111111111111"), digits glued to the LAST group of a grouped
+  card ("4111 1111 1111 111199"), and a 4-digit junk group joined to a
+  grouped card by the SAME separator ("2023 4111 1111 1111 1111" — the
+  leftmost-first match consumes "2023 4111 1111 1111"); disambiguating
+  that last case needs lookbehind, which RE2 (DuckDB) lacks.  Plain
+  ordered alternation without backreferences is leftmost-first in BOTH
+  Java regex (Spark) and RE2, and the adversarial parity test pins the
+  agreement;
 * checksum: strip separators, reject lengths outside 13..16, then the Luhn
   fold as a two-arg ``transform`` over the REVERSED digit array — the
   (elem, idx) binding of two-arg lambdas (the SCALING.md §2 footgun) is
@@ -36,13 +52,19 @@ from pyspark.sql import functions as F
 
 __all__ = ["QUERIES", "q_cc_audit", "cc_audit", "cc_sql", "CAND_RE"]
 
-CAND_RE = "[0-9](?:[ -]?[0-9]){12,}"
+CAND_RE = (
+    "[0-9]{4} [0-9]{4} [0-9]{4} [0-9]{1,7}"
+    "|[0-9]{4}-[0-9]{4}-[0-9]{4}-[0-9]{1,7}"
+    "|[0-9]{4} [0-9]{6} [0-9]{5}"
+    "|[0-9]{4}-[0-9]{6}-[0-9]{5}"
+    "|[0-9]{13,}"
+)
 
 # Luhn over a candidate string column expression: strip separators, digits
 # right-to-left, double every second, subtract 9 above 9, sum % 10 == 0.
 _SPARK_VALID = """
 transform(
-  regexp_extract_all(text, '[0-9](?:[ -]?[0-9]){12,}', 0),
+  regexp_extract_all(text, '__CAND_RE__', 0),
   m -> CASE
     WHEN length(regexp_replace(m, '[ -]', '')) BETWEEN 13 AND 16 THEN
       IF(aggregate(
@@ -53,7 +75,7 @@ transform(
                           CAST(d AS INT))),
            0, (acc, x) -> acc + x) % 10 = 0, 1, 0)
     ELSE 0 END)
-"""
+""".replace("__CAND_RE__", CAND_RE)
 
 
 def q_cc_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -85,7 +107,7 @@ def cc_sql() -> str:
     return r"""
 WITH cands AS (
   SELECT doc_id,
-         regexp_extract_all(text, '[0-9](?:[ -]?[0-9]){12,}', 0) AS ms
+         regexp_extract_all(text, '__CAND_RE__', 0) AS ms
   FROM documents
 ), flags AS (
   SELECT doc_id,
@@ -109,7 +131,7 @@ SELECT doc_id,
 FROM flags
 WHERE len(valid_flags) > 0
 ORDER BY doc_id
-"""
+""".replace("__CAND_RE__", CAND_RE)
 
 
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {

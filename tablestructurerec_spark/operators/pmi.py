@@ -26,7 +26,10 @@ Spark shape, audited for 100 TB:
   corpus: Catalyst cannot reuse the exchange across differently-pruned
   subtrees (measured in round 2: the dup-spans doc), so the persist IS the
   scan-once guarantee, and it holds a few (token, token, long) rows per
-  observed pair, not documents;
+  observed pair, not documents; the default face eagerly collects the
+  bounded TOP_K result and RELEASES the persist in a ``finally``
+  (``materialize=False`` hands the lazy plan — and the cache's lifetime —
+  to the caller);
 * marginals are window sums over the persisted table partitioned by w1 /
   by w2 (two shuffles of the SMALL table); the total N is a scalar
   aggregate collected to the driver and folded in as a literal (k-means /
@@ -87,28 +90,40 @@ def bigram_counts(docs: DataFrame) -> DataFrame:
     )
 
 
-def pmi_bigrams(docs: DataFrame) -> DataFrame:
+def pmi_bigrams(docs: DataFrame, materialize: bool = True) -> DataFrame:
+    """By default the bounded result (≤ TOP_K rows) is eagerly collected
+    and the persisted bigram table released in a ``finally`` (ADVICE r3:
+    a long session otherwise accumulates live caches with no release
+    path).  ``materialize=False`` returns the lazy plan instead — the
+    CALLER then owns the persisted bigram table's lifetime (the
+    plan-inspection face used by the scan-once pin test)."""
     toks = docs.select(tokens_col(F.col("text")).alias("toks"))
     bg = bigram_counts(toks).persist()
+    keep = False
     try:
         total = bg.agg(F.sum("c_xy")).collect()[0][0] or 0
-    except Exception:
-        bg.unpersist()
-        raise
-    scored = (
-        bg.withColumn("c_left", F.sum("c_xy").over(Window.partitionBy("w1")))
-        .withColumn("c_right", F.sum("c_xy").over(Window.partitionBy("w2")))
-        .where(F.col("c_xy") >= MIN_COUNT)
-        .withColumn(
-            "lift_scaled",
-            F.expr(
-                f"((c_xy * {LIFT_SCALE}) DIV c_left) * {total} DIV c_right"
-            ).cast("long"),
+        scored = (
+            bg.withColumn("c_left", F.sum("c_xy").over(Window.partitionBy("w1")))
+            .withColumn("c_right", F.sum("c_xy").over(Window.partitionBy("w2")))
+            .where(F.col("c_xy") >= MIN_COUNT)
+            .withColumn(
+                "lift_scaled",
+                F.expr(
+                    f"((c_xy * {LIFT_SCALE}) DIV c_left) * {total} DIV c_right"
+                ).cast("long"),
+            )
         )
-    )
-    return scored.orderBy(
-        F.col("lift_scaled").desc(), "w1", "w2"
-    ).limit(TOP_K)
+        result = scored.orderBy(
+            F.col("lift_scaled").desc(), "w1", "w2"
+        ).limit(TOP_K)
+        if not materialize:
+            keep = True
+            return result
+        rows, schema = result.collect(), result.schema
+    finally:
+        if not keep:
+            bg.unpersist()
+    return docs.sparkSession.createDataFrame(rows, schema)
 
 
 def pmi_sql() -> str:

@@ -51,6 +51,11 @@ __all__ = [
 
 TARGET_ROWS_PER_TASK = 100_000
 AUDIT_PROBS: List[Tuple[int, int, str]] = [(1, 2, "p50"), (99, 100, "p99")]
+_SCHEMA = (
+    "key_col STRING, n_rows BIGINT, n_keys BIGINT, max_key_rows BIGINT,"
+    " p50_key_rows BIGINT, p99_key_rows BIGINT, top1_share_ppm BIGINT,"
+    " salt_factor BIGINT"
+)
 
 
 def q_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -70,6 +75,11 @@ def skew_audit(spark: SparkSession, df: DataFrame, key_col: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_keys"),
             F.max("c").alias("mx"),
         ).collect()[0]
+        # ADVICE r3: an empty input makes sum(c) NULL — a defined empty
+        # result beats a TypeError out of int(None) (and guards the ppm
+        # division), mirroring refine_quantiles' null discipline
+        if s["n_rows"] is None or int(s["n_rows"]) == 0:
+            return spark.createDataFrame([], _SCHEMA)
         vals = counts.select(
             F.lit("all").alias("source"), F.col("c").cast("long").alias("v")
         )
@@ -88,12 +98,7 @@ def skew_audit(spark: SparkSession, df: DataFrame, key_col: str) -> DataFrame:
         mx * 1_000_000 // n_rows,
         max(1, (mx + TARGET_ROWS_PER_TASK - 1) // TARGET_ROWS_PER_TASK),
     )
-    return spark.createDataFrame(
-        [row],
-        "key_col STRING, n_rows BIGINT, n_keys BIGINT, max_key_rows BIGINT,"
-        " p50_key_rows BIGINT, p99_key_rows BIGINT, top1_share_ppm BIGINT,"
-        " salt_factor BIGINT",
-    )
+    return spark.createDataFrame([row], _SCHEMA)
 
 
 def skew_audit_sql(table: str = "events", key_col: str = "user_id") -> str:

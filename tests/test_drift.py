@@ -74,14 +74,30 @@ def test_single_corpus_scan(spark):
     # counts aggregate (plus a third scan for days.count()).  The persisted
     # counts must feed the runtime plan — no raw scan above the cache.
     mixes = [{"a": 10, "b": 5}, {"a": 7, "b": 9}, {"a": 3}]
+    # materialize=False: the lazy plan-inspection face (the default face
+    # collects the bounded result and releases the cache in a finally)
+    out = distribution_drift(_events(spark, mixes), "event_type", materialize=False)
+    try:
+        out.collect()
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        runtime = plan.split("InMemoryRelation")[0]
+        assert "InMemoryTableScan" in plan
+        # the counts aggregation must not be rebuilt above the cache: the only
+        # HashAggregate(keys=[day...] lives in the cached build plan below
+        assert "HashAggregate(keys=[day" not in runtime
+    finally:
+        spark.catalog.clearCache()
+
+
+def test_default_face_releases_cache(spark):
+    # ADVICE r3: the persisted counts table used to stay live for the
+    # session on the success path.
+    mixes = [{"a": 10, "b": 5}, {"a": 7, "b": 9}]
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getRDDStorageInfo()
     out = distribution_drift(_events(spark, mixes), "event_type")
-    out.collect()
-    plan = out._jdf.queryExecution().executedPlan().toString()
-    runtime = plan.split("InMemoryRelation")[0]
-    assert "InMemoryTableScan" in plan
-    # the counts aggregation must not be rebuilt above the cache: the only
-    # HashAggregate(keys=[day...] lives in the cached build plan below
-    assert "HashAggregate(keys=[day" not in runtime
+    assert out.count() == 1
+    assert len(jsc.getRDDStorageInfo()) == len(before)
 
 
 def test_duckdb_parity_sf(spark):

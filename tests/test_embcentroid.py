@@ -101,6 +101,38 @@ def test_ragged_dims_rejected(spark, tmp_path):
         q_label_centroid_sim(spark, d).collect()
 
 
+def test_intra_label_ragged_rejected(spark, tmp_path):
+    import pytest
+
+    # ADVICE r3: every label reaches the same MAX dim (4), but label 1 mixes
+    # 2-dim and 4-dim vectors — per-dim support then varies inside the label
+    # and the old cross-label-only guard passed it silently.
+    rows = _rows({0: [[1.0, 0.5, 0.2, 0.1]] * 3})
+    rows += [
+        {"vec_id": 100, "embedding": np.asarray([1.0, 0.5], dtype=np.float32),
+         "label": 1},
+        {"vec_id": 101,
+         "embedding": np.asarray([1.0, 0.5, 0.2, 0.1], dtype=np.float32),
+         "label": 1},
+    ]
+    d = _write(tmp_path, rows)
+    with pytest.raises(ValueError, match="differing dimensionality"):
+        q_label_centroid_sim(spark, d).collect()
+
+
+def test_default_face_releases_cache(spark, tmp_path):
+    # ADVICE r3: the persisted centroid frame used to stay live for the
+    # session on the success path.
+    rng = random.Random(7)
+    vecs = {l: [[rng.uniform(-1, 1) for _ in range(8)] for _ in range(10)]
+            for l in range(2)}
+    d = _write(tmp_path, _rows(vecs))
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getRDDStorageInfo()
+    assert q_label_centroid_sim(spark, d).count() == 1
+    assert len(jsc.getRDDStorageInfo()) == len(before)
+
+
 def test_duckdb_parity_random(spark, tmp_path):
     rng = random.Random(15)
     vecs = {

@@ -81,3 +81,26 @@ def test_duckdb_parity_sf_finds_the_planted_mislabels(spark):
     zh = [r for r in got if r[0] == "zh"]
     assert zh and all(not r[4] for r in zh if r[1] == "latin")
     assert any(r[1] == "latin" for r in zh)
+
+
+def test_null_lang_orders_like_duckdb(spark, tmp_path):
+    # ADVICE r3: Spark's default orderBy puts NULLs FIRST while DuckDB's
+    # ASC puts them LAST — the audit pins NULLS LAST so null-lang corpora
+    # keep row-order parity.
+    rows = [
+        {"doc_id": 0, "text": "plain english prose", "lang": "en", "source": "s"},
+        {"doc_id": 1, "text": "unlabeled latin text", "lang": None, "source": "s"},
+        {"doc_id": 2, "text": "текст на кириллице тут", "lang": "ru", "source": "s"},
+    ]
+    d = _write(tmp_path, rows)
+    got = [
+        tuple(r)
+        for r in q_lang_script_consistency(spark, d).toPandas().itertuples(index=False)
+    ]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'")
+    want = [tuple(r) for r in con.execute(langscript_sql()).fetchall()]
+    # pandas renders NULL lang as None/NaN identically via itertuples on
+    # object dtype; compare positionally
+    assert got == want
+    assert got[-1][0] is None or (isinstance(got[-1][0], float))  # null sorts last

@@ -56,6 +56,43 @@ def test_known_pans(spark, tmp_path):
     assert got[4]["has_valid_cc"]
 
 
+def test_adjacent_digit_groups_do_not_mask_cards(spark, tmp_path):
+    # ADVICE r3: the old fully-unbounded candidate pattern merged a valid
+    # card with ANY adjacent single-separator digit group ("... 99",
+    # "... 2023"), so the 13-16 guard rejected the merged run — a false
+    # negative that let real PANs past the audit.  Separators are now only
+    # accepted at group boundaries, so the card extracts alone.
+    rows = [
+        {"doc_id": 0, "text": "4111111111111111 99", "source": "s"},
+        {"doc_id": 1, "text": "card 4111 1111 1111 1111 2023 exp", "source": "s"},
+        {"doc_id": 2, "text": "id 1234 4111-1111-1111-1111 end", "source": "s"},
+        {"doc_id": 3, "text": "amex 3782 822463 10005 pin 99", "source": "s"},
+        # residual documented merges: digits glued with NO separator, digits
+        # glued to the last group, and same-separator 4-digit junk adjacent
+        # to a grouped card all still extract-whole-and-reject (the
+        # anti-truncation intent; lookbehind would fix the last one but RE2
+        # lacks it — see module docstring)
+        {"doc_id": 4, "text": "12344111111111111111", "source": "s"},
+        {"doc_id": 5, "text": "4111 1111 1111 111199", "source": "s"},
+        {"doc_id": 6, "text": "2023 4111 1111 1111 1111", "source": "s"},
+    ]
+    d = _write(tmp_path, rows)
+    got = {r["doc_id"]: r for r in q_cc_audit(spark, d).collect()}
+    for i in (0, 1, 2, 3):
+        assert got[i]["has_valid_cc"], (i, got.get(i))
+    for i in (4, 5, 6):
+        assert not got[i]["has_valid_cc"], (i, got.get(i))
+    # and the adversarial set agrees byte-for-byte across engines (the
+    # alternation-order / leftmost-first pin for Java regex vs RE2)
+    got_rows = [
+        tuple(r) for r in q_cc_audit(spark, d).toPandas().itertuples(index=False)
+    ]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'")
+    want = [tuple(r) for r in con.execute(cc_sql()).fetchall()]
+    assert got_rows == want
+
+
 def test_long_ids_not_truncated_to_cards(spark, tmp_path):
     # Review finding: a bounded {12,15} repetition truncated 17+-digit ids
     # to a 16-digit prefix that passes Luhn ~10% of the time.  The unbounded

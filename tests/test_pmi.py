@@ -77,16 +77,38 @@ def test_single_corpus_scan(spark, tmp_path):
     ]
     d = _write(tmp_path, rows)
     docs = spark.read.parquet(d + "/documents.parquet")
+    # materialize=False: the lazy plan-inspection face (the default face
+    # collects the bounded result and releases the cache in a finally)
+    out = pmi_bigrams(docs, materialize=False)
+    try:
+        out.collect()
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("InMemoryTableScan") >= 1
+        # Everything above the cached bigram relation (the runtime path: the
+        # marginal windows + ranking) must read the cache, never parquet; the
+        # 'Scan parquet' strings below the marker are just the cached build
+        # plan's printout.
+        runtime = plan.split("InMemoryRelation")[0]
+        assert "Scan parquet" not in runtime
+    finally:
+        spark.catalog.clearCache()
+
+
+def test_default_face_releases_cache(spark, tmp_path):
+    # ADVICE r3: the persisted bigram table used to stay live for the
+    # session on the success path.  The default face must leave no cached
+    # relation behind.
+    rows = [
+        {"doc_id": i, "text": "alpha beta gamma delta " * 10, "source": "s"}
+        for i in range(10)
+    ]
+    d = _write(tmp_path, rows)
+    docs = spark.read.parquet(d + "/documents.parquet")
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getRDDStorageInfo()
     out = pmi_bigrams(docs)
-    out.collect()
-    plan = out._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("InMemoryTableScan") >= 1
-    # Everything above the cached bigram relation (the runtime path: the
-    # marginal windows + ranking) must read the cache, never parquet; the
-    # 'Scan parquet' strings below the marker are just the cached build
-    # plan's printout.
-    runtime = plan.split("InMemoryRelation")[0]
-    assert "Scan parquet" not in runtime
+    assert out.count() > 0
+    assert len(jsc.getRDDStorageInfo()) == len(before)
 
 
 def test_duckdb_parity(spark):

@@ -80,3 +80,15 @@ def test_salt_factor_scales_with_hot_key(spark, tmp_path):
     assert audit["salt_factor"] == max(
         1, (251 + TARGET_ROWS_PER_TASK - 1) // TARGET_ROWS_PER_TASK
     )
+
+
+def test_empty_input_returns_empty_frame(spark):
+    # ADVICE r3: sum(c) over an empty counts table is NULL; the audit must
+    # return a defined empty result, not a TypeError out of int(None).
+    empty = spark.createDataFrame([], "user_id BIGINT, x STRING")
+    out = skew_audit(spark, empty, "user_id")
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "key_col", "n_rows", "n_keys", "max_key_rows", "p50_key_rows",
+        "p99_key_rows", "top1_share_ppm", "salt_factor",
+    ]
