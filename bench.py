@@ -2,9 +2,15 @@
 """Benchmark: headline queries + flagship extraction throughput.
 
 Default: runs at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
-local[$SPARK_GRAFT_CPUS] (default 32) and prints ONE JSON line:
-  {"metric": ..., "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": ..., "turns_per_sec": ...}
+local[$SPARK_GRAFT_CPUS] (default 32) and prints ONE COMPACT JSON line as
+the last stdout line:
+  {"metric": ..., "value": <total sec>, "unit": "sec", "n_queries": ...,
+   "queries": {"flagship_extract": sec}, "sf": ..., "turns_per_sec": ...,
+   "detail_file": "BENCH/bench_detail_sf<sf>_cpus<n>.json"}
+The full per-query map lives in detail_file, NOT on stdout: the driver
+captures a bounded stdout tail, and an 86-entry per-query dict outgrew it
+in round 3 (the machine-readable result line must not scale with suite
+size).
 
 --scaling: additionally measures extraction throughput at local[N] and
 local[4N] in fresh subprocesses (the sandbox stand-in for N vs 4N executors,
@@ -273,6 +279,7 @@ def main() -> None:
         semdedup,
         skewaudit,
         snapshot,
+        urls,
         zipf,
     )
     from tablestructurerec_spark.operators.dedup import q_dedup_keep_best
@@ -284,7 +291,7 @@ def main() -> None:
                 drift, embcentroid, health, hll, kanon, kmv, langscript, leakage, luhn,
                 mojibake, normalize,
                 paradedup, pmi, pq, provenance, quantiles, semdedup,
-                skewaudit, snapshot, zipf):
+                skewaudit, snapshot, urls, zipf):
         queries.update(mod.QUERIES)  # modules' own keys — no name drift
     queries["t_dsir_weights"] = q_dsir_weights
     queries["t_lang_id_ngram"] = q_lang_id_ngram
@@ -308,7 +315,7 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
-    result = {
+    detail = {
         "metric": "bench_suite_seconds",
         "value": total,
         "unit": "sec",
@@ -322,7 +329,31 @@ def main() -> None:
         "turns": n_turns,
         "turns_per_sec": round(n_turns / ext_sec, 1),
     }
-    print(json.dumps(result))
+    # Per-query detail goes to a FILE; stdout's LAST line is a compact
+    # totals-only JSON.  The driver captures a bounded tail of stdout, and
+    # an 86-entry per-query dict outgrew it in round 3 ("parsed": null in
+    # BENCH_r03.json — VERDICT r3 #2): the machine-readable perf signal
+    # must never scale with suite size.
+    os.makedirs(os.path.join(REPO_ROOT, "BENCH"), exist_ok=True)
+    detail_file = os.path.join(
+        "BENCH", f"bench_detail_sf{sf}_cpus{CPUS}.json"
+    )
+    with open(os.path.join(REPO_ROOT, detail_file), "w") as f:
+        json.dump(detail, f, indent=1)
+    compact = {
+        "metric": "bench_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "n_queries": len(timings),
+        # headline only — full per-query map in detail_file
+        "queries": {"flagship_extract": timings["flagship_extract"]},
+        "sf": sf,
+        "cpus": CPUS,
+        "turns": n_turns,
+        "turns_per_sec": round(n_turns / ext_sec, 1),
+        "detail_file": detail_file,
+    }
+    print(json.dumps(compact))
     spark.stop()
 
     if "--scaling" in sys.argv:

@@ -14,20 +14,46 @@ to ANY earlier-ranked cluster member reaches ``tau`` — the same greedy
 upper-triangular rule as the paper's released implementation (the earlier
 member's own dup status does not matter).
 
+TWO faces share one verdict tail (``_rank_members`` + ``_verdict`` — the
+greedy rule cannot drift between them); they differ only in how the
+quantizer is fit and how big k may grow:
+
+* :func:`q_semdedup` — the ORACLE face.  k is small and fixed, the fit is
+  the driver-side deterministic Lloyd on a BOUNDED id-range sample
+  (identical bounding rule and determinism contract as
+  ``similarity.q_ann_ivf_kmeans_topk``), which is what makes a full
+  value-hash DuckDB oracle possible: :func:`semdedup_oracle` refits
+  bit-identical centers in its own process and replays everything in SQL.
+* :func:`q_semdedup_scale` — the 100 TB face (VERDICT r3 #1).  k is
+  DERIVED from the corpus (``k = ceil(N / target_cluster_size)``, so
+  |cluster| stays ≈ constant as N grows — the knob the paper turns), and
+  the fit is DISTRIBUTED MLlib k-means (seeded k-means||) once k or N
+  outgrows the bounded-sample regime — a driver-side fit on a ≤131k-row
+  sample cannot deliver the ~10⁵-10⁶ clusters a 100 TB corpus needs.
+  MLlib's fit is seeded but not replayable outside the JVM, so this face
+  carries pytest invariants (planted twins, k derivation, plan pins,
+  small-regime agreement with the oracle face) instead of a SQL oracle —
+  the same honesty split as ``core/kmeans.py`` documents.
+
 Spark shape, audited for 100 TB:
 
-* quantizer fit: driver-side deterministic Lloyd (``core/kmeans.lloyd``) on
-  a BOUNDED id-range sample — identical bounding rule and determinism
-  contract as ``similarity.q_ann_ivf_kmeans_topk``, which is what makes a
-  full value-hash DuckDB oracle possible (the oracle refits bit-identical
-  centers in its own process and replays everything in SQL);
-* assignment: broadcast the O(k·dim) centers, map-side argmin over one
-  corpus scan — no shuffle;
-* the ONLY shuffle is the intra-cluster self-join on ``cluster_id`` (equi
-  key → SortMergeJoin, AQE-skew-splittable; the ``rk_a < rk_b`` rank
-  predicate rides as a post-join filter).  Per-cluster work is quadratic in
-  cluster size, which is the knob the paper turns (k ∝ N);
-* never all-pairs, never a corpus-side broadcast, no Python in the plan.
+* assignment is MAP-ONLY on both faces — ONE generated row per input row,
+  never the old ``crossJoin(broadcast(cents))`` N·k row expansion (VERDICT
+  r3 #1: a k-fold scan inflation exactly when k must grow).  The oracle
+  face folds a LITERAL centers array per row (``transform`` → struct
+  distances → ``array_min``, value-identical to the old
+  ``min(struct(round(sqdist,6), cid))`` including ties); the scale face
+  uses MLlib ``KMeansModel.transform`` (JVM-side nearest-center over the
+  broadcast centers) and recovers the centroid distance with a k-row
+  broadcast equi-join — one sqdist per row, not per (row, center).
+  Dropping the crossJoin also dropped two shuffles: no ``groupBy(vec_id)``
+  re-aggregation and no join-back of assignments onto the corpus;
+* the ONLY corpus-sized shuffle is the intra-cluster self-join on
+  ``cluster_id`` (equi key → SortMergeJoin, AQE-skew-splittable; the
+  ``rk_a < rk_b`` rank predicate rides as a post-join filter).  Per-cluster
+  work is quadratic in cluster size, which corpus-derived k holds bounded;
+* never all-pairs, never a corpus-side broadcast, no Python in the oracle
+  face's plan.
 
 Reference surface: this is a training-data operator beyond the reference
 repo (which has no embedding pipeline); the clustering/oracle determinism
@@ -36,9 +62,9 @@ contract follows ``operators/similarity.py``.
 
 from __future__ import annotations
 
-from typing import Callable, Dict
+from typing import Callable, Dict, List, Sequence
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tablestructurerec_spark.operators.similarity import (
@@ -50,14 +76,25 @@ from tablestructurerec_spark.operators.similarity import (
     _SQDIST_SQL,
 )
 
-__all__ = ["QUERIES", "q_semdedup", "semdedup_oracle"]
+__all__ = [
+    "QUERIES",
+    "q_semdedup",
+    "q_semdedup_scale",
+    "semdedup_oracle",
+    "auto_k",
+]
 
-_SEM_K = 16  # clusters fit on the bounded sample; scale with corpus size
+_SEM_K = 16  # oracle face: clusters fit on the bounded sample
 _SEM_TAU = 0.4  # dup threshold; testdata embeddings are isotropic (max
 # pairwise cos ≈ 0.48 at sf0.001), so the default sits where a meaningful
 # dup set exists — production text embeddings use 0.95+ (paper table 1)
 _SEM_ITERS = 8
 _SAMPLE_MAX_ID = 131_072  # same bounded-sample rule as similarity.py
+# scale face: target |cluster|; k = ceil(N / this).  The paper's regime is
+# |cluster| in the low tens of thousands; the default keeps the bench sf
+# exercising k > 1 while the DERIVATION, not the constant, is the contract.
+_SEM_TARGET_CLUSTER = 500
+_MLLIB_SEED = 42
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -66,8 +103,13 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_table(spark, sf_dir, name)
 
 
-def _fit_centers(spark: SparkSession, emb: DataFrame, k: int) -> DataFrame:
-    """Bounded-sample Lloyd fit → broadcast-sized (cid, cv) frame."""
+def auto_k(n_rows: int, target_cluster_size: int = _SEM_TARGET_CLUSTER) -> int:
+    """Corpus-derived cluster count: |cluster| ≈ target as N grows."""
+    return max(2, -(-int(n_rows) // int(target_cluster_size)))
+
+
+def _fit_centers_bounded(emb: DataFrame, k: int) -> List[List[float]]:
+    """Bounded-sample deterministic Lloyd fit (the oracle face's quantizer)."""
     from tablestructurerec_spark.core.kmeans import lloyd
 
     sample = (
@@ -77,76 +119,87 @@ def _fit_centers(spark: SparkSession, emb: DataFrame, k: int) -> DataFrame:
         .collect()
     )
     centers = lloyd(_kmeans_sample_np([r.embedding for r in sample]), k, _SEM_ITERS)
-    return spark.createDataFrame(
-        [(i, [float(v) for v in c]) for i, c in enumerate(centers)],
-        "cid int, cv array<double>",
-    )
+    return [[float(v) for v in c] for c in centers]
 
 
-def q_semdedup(
-    spark: SparkSession,
-    sf_dir: str,
-    n_clusters: int = _SEM_K,
-    tau: float = _SEM_TAU,
-) -> DataFrame:
-    """Per-vector SemDeDup verdict: ``(vec_id, cluster_id, rk,
-    max_prior_cos, is_dup)``.
+def _argmin_center(centers: Sequence[Sequence[float]], emb_col: Column) -> Column:
+    """Map-only nearest-center struct ``(d, cid)`` over LITERAL centers.
 
-    ``rk`` is the greedy order inside the cluster (1 = farthest from the
-    centroid, kept unconditionally); ``max_prior_cos`` is the best cosine
-    to any earlier-ranked member (−1 when none); ``is_dup`` = 1 iff that
-    best cosine reaches ``tau``.
+    ``transform`` evaluates the exact same ``_sqdist`` expression per
+    center that the old crossJoin plan evaluated per joined row, and
+    ``array_min`` over ``struct(d, cid)`` reproduces
+    ``min(struct(round(sqdist,6), cid))`` byte-for-byte (struct ordering:
+    minimal rounded distance, tie → lowest cid) — but generates ONE row
+    per input row instead of N·k.  Literal-array size is O(k·dim), the
+    same budget the old broadcast carried; past a few thousand centers use
+    the scale face instead.
     """
-    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cents = _fit_centers(spark, emb, n_clusters)
+    cents_arr = F.array(*[
+        F.struct(
+            F.lit(i).alias("cid"),
+            F.array(*[F.lit(float(v)) for v in c]).alias("cv"),
+        )
+        for i, c in enumerate(centers)
+    ])
+    scored = F.transform(
+        cents_arr,
+        lambda c: F.struct(
+            F.round(_sqdist(emb_col, c["cv"]), 6).alias("d"),
+            c["cid"].alias("cid"),
+        ),
+    )
+    return F.array_min(scored)
 
-    assigned = (
-        emb.crossJoin(F.broadcast(cents))
-        .groupBy("vec_id")
-        .agg(
-            F.min(
-                F.struct(
-                    F.round(_sqdist(F.col("embedding"), F.col("cv")), 6).alias("d"),
-                    F.col("cid").alias("cid"),
-                )
-            ).alias("best")
-        )
-        .select(
-            "vec_id",
-            F.col("best.cid").alias("cluster_id"),
-            F.col("best.d").alias("cdist"),
-        )
-    )
-    # per-member norm hoisted OUT of the pair frame: computed N times here
-    # instead of 2·|pairs| times inside the join (the triplet-mine lesson;
-    # numerically identical — no intermediate rounding)
-    member = (
-        emb.join(assigned, "vec_id")
-        .withColumn("nrm", _norm(F.col("embedding")))
-        .withColumn(
-            "rk",
-            F.row_number()
-            .over(
-                Window.partitionBy("cluster_id").orderBy(
-                    F.desc("cdist"), F.asc("vec_id")
-                )
+
+def _rank_members(assigned: DataFrame) -> DataFrame:
+    """(vec_id, embedding, cluster_id, cdist) → + per-member norm and the
+    greedy rank (1 = farthest from the centroid, kept unconditionally).
+
+    The norm is hoisted OUT of the pair frame: computed N times here
+    instead of 2·|pairs| times inside the join (the triplet-mine lesson;
+    numerically identical — no intermediate rounding).
+    """
+    return assigned.withColumn("nrm", _norm(F.col("embedding"))).withColumn(
+        "rk",
+        F.row_number()
+        .over(
+            Window.partitionBy("cluster_id").orderBy(
+                F.desc("cdist"), F.asc("vec_id")
             )
-            .cast("int"),
         )
+        .cast("int"),
     )
+
+
+def _verdict(member: DataFrame, tau: float) -> DataFrame:
+    """The paper's greedy upper-triangular rule over ranked members —
+    shared by both faces so the semantics cannot drift."""
     a = member.select(
         F.col("cluster_id").alias("c"),
         F.col("rk").alias("rk_a"),
         F.col("embedding").alias("emb_a"),
         F.col("nrm").alias("nrm_a"),
     )
+    # The probe side is round-robin repartitioned with an EXPLICIT partition
+    # count (AQE preserves user-specified numbers) for two reasons, both
+    # measured: (a) the pair join EXPLODES — |cluster|²/2 output rows from
+    # tiny inputs — so AQE's input-bytes coalescing is exactly wrong here
+    # (at bench sf it collapsed the probe to ONE task: 12.5M interpreted
+    # array-dot evaluations on one core, 92 s → 6 s after this line); (b) a
+    # HOT cluster's quadratic work is split across tasks instead of
+    # serializing on the one task that owns its cluster_id hash — the
+    # explicit skew handling the join needs, since the build side reaches
+    # every task (broadcast at small member counts; replicated through the
+    # re-exchange a SortMergeJoin would insert at production scale, where
+    # the extra linear shuffle is noise against the quadratic join output).
+    n_part = int(member.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     b = member.select(
         "cluster_id",
         F.col("vec_id").alias("bid"),
         F.col("rk").alias("rk_b"),
         F.col("embedding").alias("emb_b"),
         F.col("nrm").alias("nrm_b"),
-    )
+    ).repartition(n_part)
     prior = (
         b.join(a, (a["c"] == b["cluster_id"]) & (a["rk_a"] < b["rk_b"]))
         .groupBy("bid")
@@ -175,14 +228,90 @@ def q_semdedup(
     )
 
 
+def q_semdedup(
+    spark: SparkSession,
+    sf_dir: str,
+    n_clusters: int = _SEM_K,
+    tau: float = _SEM_TAU,
+) -> DataFrame:
+    """Per-vector SemDeDup verdict (ORACLE face): ``(vec_id, cluster_id,
+    rk, max_prior_cos, is_dup)``.
+
+    ``rk`` is the greedy order inside the cluster (1 = farthest from the
+    centroid, kept unconditionally); ``max_prior_cos`` is the best cosine
+    to any earlier-ranked member (−1 when none); ``is_dup`` = 1 iff that
+    best cosine reaches ``tau``.
+    """
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    centers = _fit_centers_bounded(emb, n_clusters)
+    assigned = emb.select(
+        "vec_id",
+        "embedding",
+        _argmin_center(centers, F.col("embedding")).alias("best"),
+    ).select(
+        "vec_id",
+        "embedding",
+        F.col("best.cid").alias("cluster_id"),
+        F.col("best.d").alias("cdist"),
+    )
+    return _verdict(_rank_members(assigned), tau)
+
+
+def q_semdedup_scale(
+    spark: SparkSession,
+    sf_dir: str,
+    tau: float = _SEM_TAU,
+    target_cluster_size: int = _SEM_TARGET_CLUSTER,
+) -> DataFrame:
+    """Per-vector SemDeDup verdict (SCALE face): corpus-derived k,
+    distributed MLlib k-means fit, map-only JVM assignment.
+
+    Same output contract as :func:`q_semdedup`.  No SQL oracle (MLlib's
+    k-means|| is seeded but not replayable outside the JVM — see module
+    docstring); pytest pins planted-twin recovery, the k derivation, the
+    no-N·k plan shape, and small-regime agreement with the oracle face.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n = emb.count()
+    k = auto_k(n, target_cluster_size)
+    feats = emb.withColumn(
+        "features", array_to_vector(F.col("embedding").cast("array<double>"))
+    )
+    model = KMeans(
+        k=k, seed=_MLLIB_SEED, maxIter=_SEM_ITERS, featuresCol="features",
+        predictionCol="cluster_id",
+    ).fit(feats)
+    # KMeansModel.transform is the map-only argmin: JVM-side nearest-center
+    # over broadcast centers, one output row per input row
+    pred = model.transform(feats).select(
+        "vec_id", "embedding", F.col("cluster_id").cast("int").alias("cluster_id")
+    )
+    cents = spark.createDataFrame(
+        [(int(i), [float(v) for v in c]) for i, c in enumerate(model.clusterCenters())],
+        "cluster_id INT, cv ARRAY<DOUBLE>",
+    )
+    # centroid distance via a k-row broadcast equi-join: ONE sqdist per row
+    assigned = pred.join(F.broadcast(cents), "cluster_id").select(
+        "vec_id",
+        "embedding",
+        "cluster_id",
+        F.round(_sqdist(F.col("embedding"), F.col("cv")), 6).alias("cdist"),
+    )
+    return _verdict(_rank_members(assigned), tau)
+
+
 def semdedup_oracle(
     sf_dir: str, n_clusters: int = _SEM_K, tau: float = _SEM_TAU
 ) -> str:
-    """Full value-hash DuckDB oracle: refit the quantizer with the same
-    :func:`core.kmeans.lloyd` kernel on the same bounded sample read
-    straight off the parquet, embed the centers as exact float64 literals,
-    and replay assignment → rank → upper-triangular pair max → verdict in
-    ANSI SQL.  Built per sf_dir (centers are data-dependent), lazily.
+    """Full value-hash DuckDB oracle for :func:`q_semdedup`: refit the
+    quantizer with the same :func:`core.kmeans.lloyd` kernel on the same
+    bounded sample read straight off the parquet, embed the centers as
+    exact float64 literals, and replay assignment → rank →
+    upper-triangular pair max → verdict in ANSI SQL.  Built per sf_dir
+    (centers are data-dependent), lazily.
     """
     import duckdb
 
@@ -235,4 +364,5 @@ ORDER BY m.vec_id
 
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_semdedup": q_semdedup,
+    "t_semdedup_scale": q_semdedup_scale,
 }

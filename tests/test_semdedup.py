@@ -119,9 +119,78 @@ def test_planted_parity_matches_oracle(spark, tmp_path):
 def test_plan_has_no_corpus_cartesian(spark):
     plan = q_semdedup(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+    # VERDICT r3 #1: assignment must be MAP-ONLY — the old
+    # crossJoin(broadcast(cents)) compiled to a BroadcastNestedLoopJoin that
+    # generated N·k rows; the literal-array argmin fold generates none
+    assert "BroadcastNestedLoopJoin" not in plan
     # the intra-cluster pair join is a real equi-join on cluster_id (the
     # rank predicate rides as a post-join condition), never a loop over
     # corpus pairs
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan)
-    # centers reach assignment via broadcast
-    assert "BroadcastExchange" in plan
+
+
+def test_auto_k_scales_with_corpus():
+    from tablestructurerec_spark.operators.semdedup import auto_k
+
+    assert auto_k(100, 500) == 2          # floor: never a single cluster
+    assert auto_k(10_000, 500) == 20
+    assert auto_k(1_000_000, 500) == 2000  # k grows linearly with N
+    assert auto_k(10_001, 500) == 21       # ceil, not floor
+
+
+def test_scale_face_planted_twins(spark, tmp_path):
+    # Same semantic contract as the oracle face, driven through the
+    # distributed-fit path: exactly one member of each near-identical twin
+    # pair pruned at tau=0.9, orthogonal singletons survive.
+    from tablestructurerec_spark.operators.semdedup import q_semdedup_scale
+
+    dim = 12
+    vecs = []
+    for i in range(dim):
+        v = np.zeros(dim)
+        v[i] = 1.0
+        vecs.append(v)
+    twin_of = {}
+    for i in (0, 5, 9):
+        v = np.zeros(dim)
+        v[i] = 1.0
+        v[(i + 1) % dim] = 0.01
+        twin_of[len(vecs)] = i
+        vecs.append(v)
+    sf = _write_embeddings(tmp_path, vecs)
+    pdf = (
+        q_semdedup_scale(spark, sf, tau=0.9, target_cluster_size=4)
+        .toPandas()
+        .set_index("vec_id")
+    )
+    assert len(pdf) == len(vecs)
+    dups = set(pdf.index[pdf["is_dup"] == 1])
+    assert len(dups) == 3
+    for twin, orig in twin_of.items():
+        assert pdf.loc[twin, "cluster_id"] == pdf.loc[orig, "cluster_id"]
+        assert len(dups & {twin, orig}) == 1
+        pruned = (dups & {twin, orig}).pop()
+        assert pdf.loc[pruned, "max_prior_cos"] > 0.99
+
+
+@pytest.mark.skipif(
+    not os.path.exists(f"{SF_DIR}/embeddings.parquet"), reason="testdata absent"
+)
+def test_scale_face_plan_and_k_derivation(spark):
+    from tablestructurerec_spark.operators.semdedup import (
+        auto_k,
+        q_semdedup_scale,
+    )
+
+    out = q_semdedup_scale(spark, SF_DIR)
+    pdf = out.toPandas()
+    n = len(pdf)
+    # the fitted k obeys the corpus-derived rule (clusters may be fewer if
+    # some end up empty, never more)
+    assert pdf["cluster_id"].nunique() <= auto_k(n)
+    assert 0 < pdf["is_dup"].sum() < n
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # map-only assignment + k-row broadcast equi-join for cdist: no N·k
+    # expansion anywhere in the scale face either
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
