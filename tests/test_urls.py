@@ -1,0 +1,182 @@
+"""URL / domain hygiene family (operators/urls.py) — canonicalization rule
+goldens per host-pool case, idempotence, registered-domain extraction vs
+the public-suffix snapshot, map-only plan pin, domain filter/dedup policy
+invariants, and DuckDB value parity for all four operators (registry at
+the driver's 50-row cap).
+"""
+
+import os
+
+import duckdb
+import pytest
+
+from tablestructurerec_spark.operators import urls
+
+SF_DIR = os.environ.get("TSR_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def _con(sf_dir):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    return con
+
+
+def _write(tmp_path, rows):
+    import pandas as pd
+
+    pd.DataFrame(rows).to_parquet(str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+@pytest.mark.parametrize(
+    "q,sql",
+    [
+        (urls.q_url_canonicalize, urls.url_canonicalize_sql),
+        (urls.q_domain_stats, urls.domain_stats_sql),
+        (urls.q_domain_filter, urls.domain_filter_sql),
+        (urls.q_domain_dedup, urls.domain_dedup_sql),
+    ],
+    ids=["canon", "stats", "filter", "dedup"],
+)
+def test_duckdb_parity_sf(spark, q, sql):
+    got = [tuple(r) for r in q(spark, SF_DIR).toPandas().itertuples(index=False)]
+    want = [tuple(r) for r in _con(SF_DIR).execute(sql()).fetchall()]
+    assert got == want
+    assert len(got) > 0
+
+
+def test_canonicalization_rule_goldens(spark, tmp_path):
+    # one doc per host-pool slot (doc_id i → host i), each slot exercising a
+    # specific rule — the expected values ARE the documented policy
+    rows = [
+        {"doc_id": i, "text": f"t{i}", "lang": "en", "source": "s"}
+        for i in range(12)
+    ]
+    d = _write(tmp_path, rows)
+    got = {
+        r["doc_id"]: (r["canonical_url"], r["registered_domain"])
+        for r in urls.q_url_canonicalize(spark, d).collect()
+    }
+    assert got[0] == ("https://example.com/?id=0", "example.com")  # www+case strip
+    assert got[1] == (
+        "http://news.example.co.uk/articles/item1?id=1",
+        "example.co.uk",
+    )  # multi-label suffix; tracking params stripped, id kept
+    assert got[2] == (
+        "https://cdn.static.example.com/a/b/c.html",
+        "example.com",
+    )  # HTTPS:443 default port dropped, gclid-only query vanishes
+    assert got[3] == (
+        "https://blog.writer.github.io/",
+        "writer.github.io",
+    )  # PSL private suffix; empty path -> '/'
+    assert got[6] == (
+        "https://docs.example.co.jp/",
+        "example.co.jp",
+    )  # trailing host dot stripped
+    assert got[7][0].startswith("http://mirror.example.org:8080/")  # port kept
+    assert got[9] == (
+        "http://api.example.net/?id=9",
+        "example.net",
+    )  # http:80 default port dropped; params sorted+filtered
+    assert got[10][1] == "localhost"  # dotless host registers as itself
+    assert got[11][0] == "http://example.com/a/b/c.html"  # www. label stripped
+    # fragment never survives
+    assert all("#" not in cu for cu, _ in got.values())
+
+
+def test_canonicalization_idempotent(spark, tmp_path):
+    # canonical output re-canonicalizes to itself — the property that makes
+    # URL-level dedup stable across re-crawls
+    from pyspark.sql import functions as F
+
+    rows = [
+        {"doc_id": i, "text": f"t{i}", "lang": "en", "source": "s"}
+        for i in range(24)
+    ]
+    d = _write(tmp_path, rows)
+    once = urls.q_url_canonicalize(spark, d).select(
+        "doc_id", F.col("canonical_url").alias("url")
+    )
+    twice = urls.url_canonicalize(once).select("doc_id", "canonical_url")
+    j = once.join(twice, "doc_id")
+    assert j.where(F.col("url") != F.col("canonical_url")).count() == 0
+
+
+def test_canonicalize_is_map_only(spark):
+    plan = (
+        urls.q_url_canonicalize(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # one scan, zero shuffles before the presentation sort's range exchange
+    assert plan.count("Exchange hashpartitioning") == 0
+    assert "Scan parquet" in plan or "FileScan" in plan
+
+
+def test_domain_filter_policy(spark, tmp_path):
+    # blocklisted domains always dropped with reason 'blocklist'; a domain
+    # made of one text repeated trips the dup_rate policy
+    rows = []
+    # doc_id 4 and 16 -> Tracker.ADS-Network.net (blocklisted, id%12==4)
+    # doc_id 8 and 20 -> spam.content-farm.biz (blocklisted, id%12==8)
+    for i in range(24):
+        # ids landing on host slot 7 (mirror.example.org) share ONE text ->
+        # 100% dup domain
+        text = "same text" if i % 12 == 7 else f"unique {i}"
+        rows.append({"doc_id": i, "text": text, "lang": "en", "source": "s"})
+    d = _write(tmp_path, rows)
+    got = {r["doc_id"]: r for r in urls.q_domain_filter(spark, d).collect()}
+    for i in (4, 16, 8, 20):
+        assert not got[i]["keep"] and got[i]["reason"] == "blocklist"
+        assert got[i]["is_blocked"]
+    for i in (7, 19):  # the all-dup domain: 2 docs, 1 distinct -> 500000 ppm
+        assert got[i]["registered_domain"] == "example.org"
+        # 500000 is NOT > DUP_PPM_MAX (inclusive boundary keeps) — pin the
+        # boundary semantics explicitly
+        assert got[i]["dup_ppm"] == 500_000 and got[i]["keep"]
+    assert got[0]["keep"] and got[0]["reason"] == "ok"
+
+
+def test_domain_dedup_keep_policy(spark, tmp_path):
+    # the same text on a big domain and a small one: the canonical copy is
+    # the big domain's, every group has exactly one canonical member
+    rows = []
+    # slot 0/11 both canonicalize to example.com (4 docs) — the big domain;
+    # slot 1 (example.co.uk) gets 2 docs; plant the shared text across both
+    rows.append({"doc_id": 0, "text": "shared A", "lang": "en", "source": "s"})
+    rows.append({"doc_id": 1, "text": "shared A", "lang": "en", "source": "s"})
+    rows.append({"doc_id": 12, "text": "x12", "lang": "en", "source": "s"})
+    rows.append({"doc_id": 23, "text": "x23", "lang": "en", "source": "s"})
+    rows.append({"doc_id": 11, "text": "x11", "lang": "en", "source": "s"})
+    rows.append({"doc_id": 13, "text": "x13", "lang": "en", "source": "s"})
+    d = _write(tmp_path, rows)
+    pdf = urls.q_domain_dedup(spark, d).toPandas().set_index("doc_id")
+    # example.com has docs {0,12,23,11} = 4 docs; example.co.uk {1,13} = 2
+    assert pdf.loc[0, "registered_domain"] == "example.com"
+    assert pdf.loc[1, "registered_domain"] == "example.co.uk"
+    # shared text: canonical copy lives on the bigger domain
+    assert bool(pdf.loc[0, "is_canonical"]) and not bool(pdf.loc[1, "is_canonical"])
+    assert pdf.loc[1, "canonical_doc_id"] == 0
+    # singleton texts are their own canonicals
+    for i in (12, 23, 11, 13):
+        assert bool(pdf.loc[i, "is_canonical"])
+        assert pdf.loc[i, "canonical_doc_id"] == i
+
+
+def test_domain_dedup_parity_planted(spark, tmp_path):
+    rows = []
+    for i in range(60):
+        rows.append(
+            {"doc_id": i, "text": f"body {i % 17}", "lang": "en", "source": "s"}
+        )
+    d = _write(tmp_path, rows)
+    got = [
+        tuple(r)
+        for r in urls.q_domain_dedup(spark, d).toPandas().itertuples(index=False)
+    ]
+    want = [tuple(r) for r in _con(d).execute(urls.domain_dedup_sql()).fetchall()]
+    assert got == want
