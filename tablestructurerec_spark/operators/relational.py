@@ -126,6 +126,12 @@ ORDER BY l_orderkey, read_rank
 # A5 — ordered gather/concat per group (ref utils_table_recover.py:271-305:
 # same-row OCR text merge).  collect_list over a sorted window + array_join;
 # single shuffle on the group key.
+#
+# The trailing orderBy here (and on the other relational faces) is a
+# PRESENTATION sort for oracle determinism at bench sf — the production
+# face drops it (a global range exchange on a 10^12-row result is pure
+# waste; the flagship plan documents exactly this split).  The bench
+# therefore times one more exchange than a cluster would run.
 # ---------------------------------------------------------------------------
 def q_a5_gather(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")

@@ -43,9 +43,12 @@ def test_run_length_kernels_match_counter_truth(spark):
 # corpus repeated-substring islands: planted duplicates vs python recompute
 # ---------------------------------------------------------------------------
 def _truth_islands(texts, w=32):
-    """From-scratch reference: space-anchored windows -> global repeat
+    """From-scratch reference: content-anchored windows (space + the
+    codepoint class, mirroring hygiene._ANCHOR_MOD) -> global repeat
     count -> per-doc merged [s0, e1) islands."""
     from collections import Counter
+
+    from tablestructurerec_spark.operators.hygiene import _ANCHOR_MOD
 
     wins = {}
     counts = Counter()
@@ -53,7 +56,7 @@ def _truth_islands(texts, w=32):
         ws = []
         if len(t) >= w:
             for k in range(len(t) - w + 1):
-                if k == 0 or t[k] == " ":
+                if k == 0 or t[k] == " " or ord(t[k]) % _ANCHOR_MOD == 0:
                     sub = t[k : k + w]
                     ws.append((k, sub))
                     counts[sub] += 1
@@ -179,7 +182,7 @@ def test_span_clusters_planted_multidoc(spark):
             mk(3, "zebra opening words here"),
             mk(7, "different lead in text ok"),
             mk(11, "third document preamble aa"),
-            (20, "a wholly unique document with no repeats at all " + "y" * 40),
+            (20, "a wholly unique document with no repeats at all " + "z" * 40),
         ],
         "doc_id long, text string",
     )
