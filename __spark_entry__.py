@@ -387,6 +387,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(similarity.QUERIES)
     out.update(temporal.QUERIES)
     out.update(retrieval.QUERIES)
+    # Round-4 registry rotation (VERDICT r3 #6): the cap is 50, so four
+    # rows whose logic stays covered elsewhere rotate OUT —
+    #   ann_ivf_topk        (strict subset of ann_ivf_kmeans_topk's shared
+    #                        _ivf_from_centroids plumbing),
+    #   dedup_minhash_prod  (same generator as dedup_minhash_lsh at
+    #                        production params; still bench-timed),
+    #   t_dup_spans         (the islands kernel rides inside the REGISTERED
+    #                        t_dup_span_clusters / t_strip_repeated oracles),
+    #   t_group_sample      (simple per-group window top-k) —
+    # each keeps a driver-identical standalone parity pytest
+    # (tests/test_evicted_parity.py), and four rows certifying MORE
+    # distinct operator logic rotate IN: the fused url-hygiene verdict
+    # (canonicalize + regdomain + stats + filter + dedup), the per-source
+    # health report (degen + Luhn + mojibake, composed transitive oracle),
+    # the fused sketch audit (KMV + HLL + CMS), and the fused conversation
+    # audit (role sequence + suffix pack).
+    for evicted in ("ann_ivf_topk", "dedup_minhash_prod", "t_dup_spans",
+                    "t_group_sample"):
+        del out[evicted]
+    from tablestructurerec_spark.operators import convschema, health, sketchaudit, urls
+
+    out["t_url_hygiene"] = urls.QUERIES["t_url_hygiene"]
+    out["t_source_health"] = health.QUERIES["t_source_health"]
+    out["t_sketch_audit"] = sketchaudit.QUERIES["t_sketch_audit"]
+    out["t_conv_audit"] = convschema.QUERIES["t_conv_audit"]
     return out
 
 
@@ -428,6 +453,20 @@ def oracle_sql() -> dict[str, str]:
     # TSR_TEST_SF_DIR to whatever sf it runs at.
     sf_dir = os.environ.get("TSR_TEST_SF_DIR", "/root/testdata/sf0.01")
     out["ann_ivf_kmeans_topk"] = similarity.ivf_kmeans_oracle(sf_dir)
+    # Round-4 registry rotation — mirror of queries(): see the rationale
+    # comment there; the evicted four keep standalone parity pytests.
+    for evicted in ("ann_ivf_topk", "dedup_minhash_prod", "t_dup_spans",
+                    "t_group_sample"):
+        del out[evicted]
+    from tablestructurerec_spark.operators.convschema import conv_audit_sql
+    from tablestructurerec_spark.operators.health import health_sql
+    from tablestructurerec_spark.operators.sketchaudit import sketch_audit_sql
+    from tablestructurerec_spark.operators.urls import url_hygiene_sql
+
+    out["t_url_hygiene"] = url_hygiene_sql()
+    out["t_source_health"] = health_sql()
+    out["t_sketch_audit"] = sketch_audit_sql()
+    out["t_conv_audit"] = conv_audit_sql()
     return out
 
 

@@ -277,6 +277,7 @@ def main() -> None:
         provenance,
         quantiles,
         semdedup,
+        sketchaudit,
         skewaudit,
         snapshot,
         urls,
@@ -291,7 +292,7 @@ def main() -> None:
                 drift, embcentroid, health, hll, kanon, kmv, langscript, leakage, luhn,
                 mojibake, normalize,
                 paradedup, pmi, pq, provenance, quantiles, semdedup,
-                skewaudit, snapshot, urls, zipf):
+                sketchaudit, skewaudit, snapshot, urls, zipf):
         queries.update(mod.QUERIES)  # modules' own keys — no name drift
     queries["t_dsir_weights"] = q_dsir_weights
     queries["t_lang_id_ngram"] = q_lang_id_ngram

@@ -214,7 +214,49 @@ ORDER BY conv_id, turn_idx
 """
 
 
+def q_conv_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUSED per-conversation row registered with the driver (the
+    ``t_text_profile`` consolidation pattern — VERDICT r3 #6): the
+    role-sequence audit columns joined to the suffix-pack summary, so ONE
+    green driver row certifies both operators.  Both sides are the
+    modules' own query functions over the SAME ``_conv_view`` — nothing
+    re-implemented, nothing to drift; the oracle composes
+    :func:`role_audit_sql` and :func:`suffix_pack_sql` verbatim."""
+    audit = q_role_sequence_audit(spark, sf_dir)
+    pack = (
+        q_conv_suffix_pack(spark, sf_dir)
+        .groupBy("conv_id")
+        .agg(
+            F.sum("n_tok").alias("total_tokens"),
+            F.sum(F.when(F.col("kept"), F.col("n_tok")).otherwise(F.lit(0)))
+            .alias("kept_tokens"),
+            F.count(F.when(F.col("kept"), F.lit(1))).cast("int").alias(
+                "kept_turns"
+            ),
+        )
+    )
+    return audit.join(pack, "conv_id").orderBy("conv_id")
+
+
+def conv_audit_sql() -> str:
+    """Composed DuckDB oracle — the two constituents' SQL, joined."""
+    return f"""
+WITH audit AS ({role_audit_sql()}),
+pack AS (
+  SELECT conv_id,
+         CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+         CAST(sum(CASE WHEN kept THEN n_tok ELSE 0 END) AS BIGINT) AS kept_tokens,
+         CAST(count(CASE WHEN kept THEN 1 END) AS INT) AS kept_turns
+  FROM ({suffix_pack_sql()}) GROUP BY conv_id
+)
+SELECT a.*, p.total_tokens, p.kept_tokens, p.kept_turns
+FROM audit a JOIN pack p USING (conv_id)
+ORDER BY conv_id
+"""
+
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_role_sequence_audit": q_role_sequence_audit,
     "t_conv_suffix_pack": q_conv_suffix_pack,
+    "t_conv_audit": q_conv_audit,
 }

@@ -67,6 +67,8 @@ __all__ = [
     "q_domain_stats",
     "q_domain_filter",
     "q_domain_dedup",
+    "q_url_hygiene",
+    "url_hygiene_sql",
     "url_canonicalize_sql",
     "domain_stats_sql",
     "domain_filter_sql",
@@ -455,9 +457,99 @@ ORDER BY doc_id
 """
 
 
+def url_hygiene(docs: DataFrame) -> DataFrame:
+    """FUSED per-doc verdict registered with the driver (the
+    ``t_text_profile`` consolidation pattern — VERDICT r3 #6): one row
+    certifies canonicalization, registered-domain extraction, domain
+    stats, the blocklist/dup-rate filter policy, AND the canonical-source
+    dedup, because the composed oracle recomputes every stage.  Columns:
+    ``(doc_id, canonical_url, registered_domain, dup_ppm, keep, reason,
+    canonical_doc_id, is_canonical)``."""
+    from pyspark.sql import Window
+
+    staged = _with_url_parts(docs).select(
+        "doc_id",
+        F.expr(_CANON_ASSEMBLE).alias("canonical_url"),
+        F.expr(regdomain_sql("host")).alias("registered_domain"),
+        F.md5(F.col("text")).alias("h"),
+    )
+    stats = domain_stats(docs).select("registered_domain", "n_docs", "dup_ppm")
+    block = F.col("registered_domain").isin(DOMAIN_BLOCKLIST)
+    dupy = F.col("dup_ppm") > DUP_PPM_MAX
+    ranked = staged.join(F.broadcast(stats), "registered_domain").withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("h").orderBy(
+                F.desc("n_docs"), F.asc("registered_domain"), F.asc("doc_id")
+            )
+        ),
+    )
+    w = Window.partitionBy("h")
+    return (
+        ranked.select(
+            "doc_id",
+            "canonical_url",
+            "registered_domain",
+            "dup_ppm",
+            (~block & ~dupy).alias("keep"),
+            F.when(block, "blocklist")
+            .when(dupy, "dup_rate")
+            .otherwise("ok")
+            .alias("reason"),
+            F.min(F.when(F.col("rk") == 1, F.col("doc_id"))).over(w).alias(
+                "canonical_doc_id"
+            ),
+            (F.col("rk") == 1).alias("is_canonical"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_url_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return url_hygiene(_docs(spark, sf_dir))
+
+
+def url_hygiene_sql() -> str:
+    block_list = ", ".join(f"'{d}'" for d in DOMAIN_BLOCKLIST)
+    return f"""
+WITH staged AS (
+  SELECT doc_id, text, lang, {synth_url_sql('doc_id')} AS url FROM documents
+), parts AS (
+  SELECT doc_id, text, lang, url, {_duck_parts_cte('url')} FROM staged
+), tagged AS (
+  SELECT doc_id,
+         {_CANON_ASSEMBLE} AS canonical_url,
+         {regdomain_sql('host')} AS registered_domain,
+         md5(text) AS h
+  FROM parts
+), stats AS (
+  SELECT registered_domain, count(*) AS n_docs,
+         CAST((count(*) - count(DISTINCT h)) * 1000000 // count(*) AS BIGINT) AS dup_ppm
+  FROM tagged GROUP BY registered_domain
+), ranked AS (
+  SELECT t.doc_id, t.canonical_url, t.registered_domain, t.h, s.dup_ppm,
+         row_number() OVER (
+           PARTITION BY t.h
+           ORDER BY s.n_docs DESC, t.registered_domain ASC, t.doc_id ASC
+         ) AS rk
+  FROM tagged t JOIN stats s USING (registered_domain)
+)
+SELECT doc_id, canonical_url, registered_domain, dup_ppm,
+       (registered_domain NOT IN ({block_list}) AND dup_ppm <= {DUP_PPM_MAX}) AS keep,
+       CASE WHEN registered_domain IN ({block_list}) THEN 'blocklist'
+            WHEN dup_ppm > {DUP_PPM_MAX} THEN 'dup_rate'
+            ELSE 'ok' END AS reason,
+       min(CASE WHEN rk = 1 THEN doc_id END) OVER (PARTITION BY h) AS canonical_doc_id,
+       rk = 1 AS is_canonical
+FROM ranked
+ORDER BY doc_id
+"""
+
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_url_canonicalize": q_url_canonicalize,
     "t_domain_stats": q_domain_stats,
     "t_domain_filter": q_domain_filter,
     "t_domain_dedup": q_domain_dedup,
+    "t_url_hygiene": q_url_hygiene,
 }

@@ -1,0 +1,79 @@
+"""Driver-identical DuckDB parity for the four queries rotated OUT of the
+50-row registry in round 4 (VERDICT r3 #6) — eviction must not lower their
+verification rigor, so this file pins exactly what the driver used to:
+row count, column names, and order-insensitive values at the test sf.
+"""
+
+import math
+import os
+
+import duckdb
+import pytest
+
+from tablestructurerec_spark.operators import dedup, hygiene, sampling, similarity
+
+SF_DIR = os.environ.get("TSR_TEST_SF_DIR", "/root/testdata/sf0.001")
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+EVICTED = ["ann_ivf_topk", "dedup_minhash_prod", "t_dup_spans", "t_group_sample"]
+
+
+def _pairs():
+    out = {}
+    for mod in (dedup, hygiene, sampling, similarity):
+        for k in EVICTED:
+            if k in mod.QUERIES:
+                out[k] = (mod.QUERIES[k], mod.ORACLE_SQL[k])
+    return out
+
+
+def _duck(sql):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{SF_DIR}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return con.execute(sql).df()
+
+
+def _normalize(df):
+    df = df[sorted(df.columns)]
+    rows = []
+    for tup in df.itertuples(index=False):
+        rows.append(
+            tuple(
+                (round(v, 6) if not math.isnan(v) else "nan")
+                if isinstance(v, float)
+                else v
+                for v in tup
+            )
+        )
+    return sorted(rows, key=repr)
+
+
+def test_all_four_still_exist_as_operators():
+    assert sorted(_pairs()) == sorted(EVICTED)
+
+
+@pytest.mark.parametrize("name", EVICTED)
+def test_evicted_query_matches_oracle(spark, name):
+    q, sql = _pairs()[name]
+    got = q(spark, SF_DIR).toPandas()
+    want = _duck(sql)
+    assert list(got.columns) == list(want.columns), name
+    assert len(got) == len(want), name
+    assert _normalize(got) == _normalize(want), name
+
+
+def test_registry_is_exactly_at_cap_with_rotation_applied():
+    import __spark_entry__ as e
+
+    os.environ["TSR_TEST_SF_DIR"] = SF_DIR
+    qs, osql = e.queries(), e.oracle_sql()
+    assert len(qs) == 50  # the driver's observed cap
+    for k in EVICTED:
+        assert k not in qs
+    for k in ("t_url_hygiene", "t_source_health", "t_sketch_audit", "t_conv_audit"):
+        assert k in qs and k in osql
