@@ -41,7 +41,14 @@ from typing import Callable, Dict
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-__all__ = ["QUERIES", "q_distribution_drift", "distribution_drift", "drift_sql"]
+__all__ = [
+    "QUERIES",
+    "q_distribution_drift",
+    "distribution_drift",
+    "drift_from_counts",
+    "ingest_counts",
+    "drift_sql",
+]
 
 
 def q_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -65,15 +72,10 @@ def distribution_drift(
     # aggregate — without the persist Catalyst rebuilds it per consumer
     # (differently-pruned subtrees defeat exchange reuse, the round-2 / pmi
     # finding) and the corpus would be scanned three times (found in review)
-    counts = (
-        events.select(F.col("ts").cast("date").alias("day"), F.col(cat_col).alias("et"))
-        .groupBy("day", "et")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .persist()
-    )
+    counts = ingest_counts(events, cat_col).persist()
     keep = False
     try:
-        result = _drift_from_counts(events.sparkSession, counts)
+        result = drift_from_counts(events.sparkSession, counts)
         if not materialize:
             keep = True
             return result
@@ -84,7 +86,22 @@ def distribution_drift(
     return events.sparkSession.createDataFrame(rows, schema)
 
 
-def _drift_from_counts(spark: SparkSession, counts: DataFrame) -> DataFrame:
+def ingest_counts(events: DataFrame, cat_col: str) -> DataFrame:
+    """The one corpus-scan stage: ``(day, et, c)`` partial-agg counts —
+    shared verbatim by the batch monitor and the streaming twin
+    (``streaming/audit_stream.py``), which maintains it as a bounded-key
+    complete-mode streaming aggregate and runs the (tiny) pairing step
+    per trigger."""
+    return (
+        events.select(
+            F.col("ts").cast("date").alias("day"), F.col(cat_col).alias("et")
+        )
+        .groupBy("day", "et")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def drift_from_counts(spark: SparkSession, counts: DataFrame) -> DataFrame:
     day_list = sorted(
         r["day"] for r in counts.select("day").distinct().collect()
     )

@@ -50,7 +50,10 @@ def q_source_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_health(read_table(spark, sf_dir, "documents"))
 
 
-def source_health(docs: DataFrame) -> DataFrame:
+def doc_flags(docs: DataFrame) -> DataFrame:
+    """Per-doc STATELESS health flags — shared verbatim by the batch report
+    and the streaming twin (``streaming/audit_stream.py``), so the two
+    faces cannot drift.  Map-only: works on streaming frames as-is."""
     from tablestructurerec_spark.operators.textstats import tokens_col
 
     staged = docs.select(
@@ -59,7 +62,7 @@ def source_health(docs: DataFrame) -> DataFrame:
         tokens_col(F.col("text")).alias("toks"),
         *damage_count_cols(),
     )
-    flags = staged.select(
+    return staged.select(
         "source",
         (
             (F.expr(_RUN1) >= RUN_LIMIT) | (F.expr(_RUN2) >= CYCLE2_LIMIT)
@@ -69,6 +72,11 @@ def source_health(docs: DataFrame) -> DataFrame:
         ).alias("has_cc"),
         is_damaged_col(damage_score_col()).alias("is_damaged"),
     )
+
+
+def aggregate_flags(flags: DataFrame) -> DataFrame:
+    """Bounded-key per-source counters over :func:`doc_flags` output —
+    also shared by the streaming twin (complete-mode aggregate there)."""
     agg = flags.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.count(F.when(F.col("is_degen"), 1)).cast("long").alias("n_degenerate"),
@@ -84,7 +92,11 @@ def source_health(docs: DataFrame) -> DataFrame:
         F.expr("n_degenerate * 1000000 DIV n_docs").alias("degen_ppm"),
         F.expr("n_cc_docs * 1000000 DIV n_docs").alias("cc_ppm"),
         F.expr("n_damaged * 1000000 DIV n_docs").alias("damaged_ppm"),
-    ).orderBy("source")
+    )
+
+
+def source_health(docs: DataFrame) -> DataFrame:
+    return aggregate_flags(doc_flags(docs)).orderBy("source")
 
 
 def health_sql() -> str:
