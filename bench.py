@@ -280,6 +280,7 @@ def main() -> None:
         sketchaudit,
         skewaudit,
         snapshot,
+        tooluse,
         urls,
         zipf,
     )
@@ -292,7 +293,7 @@ def main() -> None:
                 drift, embcentroid, health, hll, kanon, kmv, langscript, leakage, luhn,
                 mojibake, normalize,
                 paradedup, pmi, pq, provenance, quantiles, semdedup,
-                sketchaudit, skewaudit, snapshot, urls, zipf):
+                sketchaudit, skewaudit, snapshot, tooluse, urls, zipf):
         queries.update(mod.QUERIES)  # modules' own keys — no name drift
     queries["t_dsir_weights"] = q_dsir_weights
     queries["t_lang_id_ngram"] = q_lang_id_ngram
