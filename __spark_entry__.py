@@ -412,6 +412,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["t_source_health"] = health.QUERIES["t_source_health"]
     out["t_sketch_audit"] = sketchaudit.QUERIES["t_sketch_audit"]
     out["t_conv_audit"] = convschema.QUERIES["t_conv_audit"]
+    # Second round-4 rotation: t_bm25_topk rotates OUT — its scoring kernel
+    # is the `_bm25_scored_ctes` SQL the REGISTERED t_hybrid_rrf oracle
+    # recomputes verbatim (the ann_ivf_topk ⊂ ann_ivf_kmeans_topk
+    # precedent), and it keeps a driver-identical standalone parity pytest
+    # (tests/test_evicted_parity.py).  Rotating IN: the fused agent-trace
+    # audit (tool-chain sessionization + same-tool loop runs + call
+    # latency over the north-rule (conv_id, turn_idx, role, text, tool,
+    # ts) shape, one conv_id exchange).
+    del out["t_bm25_topk"]
+    from tablestructurerec_spark.operators import tooluse
+
+    out["t_agent_trace_audit"] = tooluse.QUERIES["t_agent_trace_audit"]
     return out
 
 
@@ -467,6 +479,11 @@ def oracle_sql() -> dict[str, str]:
     out["t_source_health"] = health_sql()
     out["t_sketch_audit"] = sketch_audit_sql()
     out["t_conv_audit"] = conv_audit_sql()
+    # second round-4 rotation — mirror of queries(): see rationale there
+    del out["t_bm25_topk"]
+    from tablestructurerec_spark.operators.tooluse import trace_audit_sql
+
+    out["t_agent_trace_audit"] = trace_audit_sql()
     return out
 
 

@@ -10,19 +10,33 @@ import os
 import duckdb
 import pytest
 
-from tablestructurerec_spark.operators import dedup, hygiene, sampling, similarity
+from tablestructurerec_spark.operators import (
+    dedup,
+    hygiene,
+    retrieval,
+    sampling,
+    similarity,
+)
 
 SF_DIR = os.environ.get("TSR_TEST_SF_DIR", "/root/testdata/sf0.001")
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
 
-EVICTED = ["ann_ivf_topk", "dedup_minhash_prod", "t_dup_spans", "t_group_sample"]
+EVICTED = [
+    "ann_ivf_topk",
+    "dedup_minhash_prod",
+    "t_dup_spans",
+    "t_group_sample",
+    # second round-4 rotation: kernel rides inside the registered
+    # t_hybrid_rrf oracle (_bm25_scored_ctes shared verbatim)
+    "t_bm25_topk",
+]
 
 
 def _pairs():
     out = {}
-    for mod in (dedup, hygiene, sampling, similarity):
+    for mod in (dedup, hygiene, retrieval, sampling, similarity):
         for k in EVICTED:
             if k in mod.QUERIES:
                 out[k] = (mod.QUERIES[k], mod.ORACLE_SQL[k])

@@ -12,14 +12,17 @@ import duckdb
 
 from tablestructurerec_spark.operators.tooluse import (
     agent_loop_audit,
+    agent_trace_audit,
     chain_stats_sql,
     latency_sql,
     loop_audit_sql,
     q_agent_loop_audit,
+    q_agent_trace_audit,
     q_tool_chain_stats,
     q_tool_latency,
     tool_chain_stats,
     tool_latency,
+    trace_audit_sql,
 )
 
 SF_DIR = os.environ.get("TSR_TEST_SF_DIR", "/root/testdata/sf0.001")
@@ -160,6 +163,62 @@ def test_duckdb_parity_latency(spark):
     want = _oracle(latency_sql())
     assert got == want
     assert len(got) == 3  # all three tools called at least once
+
+
+def test_fused_audit_matches_faces(spark):
+    """The composed registry row must agree column-for-column with the
+    three standalone faces on the sf corpus — the composition cannot
+    drift from what it certifies."""
+    from tablestructurerec_spark.sources.read import read_table
+    from tablestructurerec_spark.operators.tooluse import _agent_view
+
+    turns = _agent_view(read_table(spark, SF_DIR, "documents"))
+    fused = {r["conv_id"]: r for r in agent_trace_audit(turns).collect()}
+    chains = {r["conv_id"]: r for r in tool_chain_stats(turns).collect()}
+    loops = {r["conv_id"]: r for r in agent_loop_audit(turns).collect()}
+    assert set(fused) == set(chains) == set(loops)
+    for cid, f in fused.items():
+        for col in ("n_tool_turns", "n_chains", "max_chain_len", "max_chain_tools"):
+            assert f[col] == chains[cid][col], (cid, col)
+        for col in ("max_run_len", "n_loop_runs", "is_looping"):
+            assert f[col] == loops[cid][col], (cid, col)
+    # latency totals: fused per-conv sums must reconcile with the per-tool face
+    lat = tool_latency(turns).collect()
+    assert sum(f["n_timed_calls"] for f in fused.values()) == sum(
+        r["n_calls"] for r in lat
+    )
+    assert sum(f["total_latency_s"] for f in fused.values()) == sum(
+        r["total_latency_s"] for r in lat
+    )
+
+
+def test_fused_audit_single_exchange_plan(spark):
+    convs = {
+        i: [
+            ("assistant", None, 0),
+            ("tool", "search", 5),
+            ("tool", "search", 9),
+            ("tool", "python", 12),
+        ]
+        for i in range(30)
+    }
+    out = agent_trace_audit(_turns(spark, convs))
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    runtime = plan.split("== Initial Plan ==")[0]
+    # the three-level rollup reuses the window's conv_id partitioning:
+    # one hash exchange for window + all three aggregations
+    assert runtime.count("Exchange hashpartitioning") == 1
+
+
+def test_duckdb_parity_fused_audit(spark):
+    got = [
+        tuple(r)
+        for r in q_agent_trace_audit(spark, SF_DIR).toPandas().itertuples(index=False)
+    ]
+    want = _oracle(trace_audit_sql())
+    assert got == want
+    assert len(got) > 0
 
 
 def test_duckdb_parity_loop_audit(spark):
