@@ -262,6 +262,7 @@ def main() -> None:
         distill,
         drift,
         embcentroid,
+        filestats,
         health,
         hll,
         jl,
@@ -291,7 +292,7 @@ def main() -> None:
 
     for mod in (bloom, bpe_factored, bpe_train, c4, ccnet, charprofile, cms,
                 convdedup, convschema, curriculum, datacard, degen, distill,
-                drift, embcentroid, health, hll, jl, kanon, kmv, langscript, leakage, luhn,
+                drift, embcentroid, filestats, health, hll, jl, kanon, kmv, langscript, leakage, luhn,
                 mojibake, normalize,
                 paradedup, pmi, pq, provenance, quantiles, semdedup,
                 sketchaudit, skewaudit, snapshot, tooluse, urls, zipf):
