@@ -41,6 +41,8 @@ __all__ = [
     "leakage_sql",
     "q_split_leakage_near",
     "near_leakage_sql",
+    "q_split_leakage_emb",
+    "emb_leakage_sql",
 ]
 
 
@@ -161,7 +163,122 @@ ORDER BY train_doc_id, eval_doc_id
 """
 
 
+# cosine floor for an embedding-space leak candidate: well below the
+# ~0.99+ of a true paraphrase pair, well above the ~0.55 extreme-value
+# ceiling of 64-d isotropic noise at bench pair counts — so the audit
+# surfaces real semantic copies without drowning in noise
+_EMB_COS_THRESH = 0.8
+
+
+def q_split_leakage_emb(
+    spark: SparkSession, sf_dir: str, thresh: float = _EMB_COS_THRESH
+) -> DataFrame:
+    """EMBEDDING-space leakage: the third modality of this audit family —
+    exact hash (verbatim copies), MinHash bands (edited copies), and now
+    cosine-near vectors (PARAPHRASED copies that share no shingles at
+    all: translations, rewrites, code ports).
+
+    Same discipline as the near face: reuses the PRODUCTION sign-LSH
+    banding of ``similarity.q_ann_lsh_bucket`` (shared bucket expressions
+    on both engines — the audit cannot drift from the ANN index it
+    complements), split labels attached pre-join as a pure vec_id
+    projection, candidates only where train and eval collide in a bucket
+    (multi-probe Hamming-1 on the eval side, the recall lever), norms
+    HOISTED out of the pair frame.  Never all-pairs: candidate count is
+    ``(1 + planes) / 2^planes`` of the cross product and the join runs on
+    the bucket key.
+
+    Returns ``(train_vec_id, eval_vec_id, eval_split, cos)`` for pairs
+    with ``cos >= thresh``, cosine rounded to 6dp BEFORE the threshold
+    (round-then-compare keeps both engines on the same side of the
+    boundary).  On the ISOTROPIC synthetic bench corpus the default
+    threshold correctly returns an empty audit (max noise cosine ≈ 0.55
+    at bench pair counts) — the positive path is pinned by the planted
+    paraphrase-twin pytest, and oracle parity is additionally asserted at
+    a low threshold where rows exist."""
+    from tablestructurerec_spark.operators.similarity import (
+        _N_PLANES,
+        _bucket_bits,
+        _dot,
+        _norm,
+    )
+    from tablestructurerec_spark.sources.read import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    bucketed = emb.select(
+        "vec_id",
+        "embedding",
+        _split_expr(F.col("vec_id")).alias("split"),
+        _bucket_bits(F.col("embedding")).alias("bucket"),
+        _norm(F.col("embedding")).alias("nrm"),
+    )
+    train = bucketed.where(F.col("split") == "train").select(
+        F.col("vec_id").alias("train_vec_id"),
+        F.col("embedding").alias("tv"),
+        F.col("nrm").alias("tn"),
+        "bucket",
+    )
+    evals = bucketed.where(F.col("split") != "train").select(
+        F.col("vec_id").alias("eval_vec_id"),
+        F.col("split").alias("eval_split"),
+        F.col("embedding").alias("ev"),
+        F.col("nrm").alias("en"),
+        F.explode(
+            F.array(
+                F.col("bucket"),
+                *[F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(_N_PLANES)],
+            )
+        ).alias("probe"),
+    )
+    # probes per eval row are distinct buckets, so no pair appears twice
+    return (
+        train.join(evals, F.col("bucket") == F.col("probe"))
+        .select(
+            "train_vec_id",
+            "eval_vec_id",
+            "eval_split",
+            F.round(
+                _dot(F.col("tv"), F.col("ev")) / (F.col("tn") * F.col("en")), 6
+            ).alias("cos"),
+        )
+        .where(F.col("cos") >= thresh)
+        .orderBy("train_vec_id", "eval_vec_id")
+    )
+
+
+def emb_leakage_sql(thresh: float = _EMB_COS_THRESH) -> str:
+    """DuckDB twin of :func:`q_split_leakage_emb` — value-exact (reuses the
+    sign-LSH bucket SQL and the cosine SQL of the ANN family)."""
+    from tablestructurerec_spark.operators.similarity import _N_PLANES, _bits_sql, _cos_sql
+
+    probe_list = ", ".join(
+        ["bucket"] + [f"xor(bucket, {1 << p})" for p in range(_N_PLANES)]
+    )
+    return f"""
+WITH bucketed AS (
+  SELECT vec_id, embedding, {_split_case_sql('vec_id')} AS split,
+         CAST({_bits_sql()} AS INT) AS bucket
+  FROM embeddings
+), train AS (
+  SELECT vec_id AS train_vec_id, embedding AS tv, bucket
+  FROM bucketed WHERE split = 'train'
+), evals AS (
+  SELECT vec_id AS eval_vec_id, split AS eval_split, embedding AS ev,
+         CAST(p.probe AS INT) AS probe
+  FROM bucketed, UNNEST([{probe_list}]) AS p(probe)
+  WHERE split <> 'train'
+), scored AS (
+  SELECT train_vec_id, eval_vec_id, eval_split,
+         ROUND({_cos_sql('tv', 'ev')}, 6) AS cos
+  FROM train JOIN evals ON bucket = probe
+)
+SELECT * FROM scored WHERE cos >= {thresh}
+ORDER BY train_vec_id, eval_vec_id
+"""
+
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_split_leakage": q_split_leakage,
     "t_split_leakage_near": q_split_leakage_near,
+    "t_split_leakage_emb": q_split_leakage_emb,
 }
