@@ -47,7 +47,13 @@ def file_balance_audit(spark: SparkSession, path: str) -> DataFrame:
     df = spark.read.parquet(path)
     per_file = (
         df.select(
-            F.regexp_extract(F.input_file_name(), "([^/]+)$", 1).alias("file")
+            # input_file_name() returns a percent-ENCODED file: URI while
+            # DuckDB's filename is the raw path — decode before taking the
+            # basename or 'my file.parquet' reports as 'my%20file.parquet'
+            # and the parity contract breaks (found in review)
+            F.regexp_extract(
+                F.expr("url_decode(input_file_name())"), "([^/]+)$", 1
+            ).alias("file")
         )
         .groupBy("file")
         .agg(F.count(F.lit(1)).alias("n_rows"))

@@ -99,6 +99,26 @@ _US_SPARK = f"transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * {_SCALE} 
 _US_DUCK = f"list_transform(embedding, v -> CAST(floor(v::DOUBLE * {_SCALE} + 0.5) AS BIGINT))"
 
 
+def _proj_spark() -> str:
+    """The one projection expression (SINGLE-SOURCED: the recall diagnostic
+    must measure exactly the projection jl_project ships — found in
+    review)."""
+    return (
+        f"transform(sequence(0, {D_OUT - 1}), j -> "
+        f"aggregate(zip_with({_US_SPARK}, element_at({_signs_spark()}, j + 1), "
+        f"(x, s) -> x * s), 0L, (a, x) -> a + x))"
+    )
+
+
+def _proj_duck() -> str:
+    """SQL twin of :func:`_proj_spark` — shared by both oracles."""
+    return (
+        f"list_transform(range(1, {D_OUT + 1}), j -> "
+        f"list_sum(list_transform(list_zip({_US_DUCK}, ({_signs_duck()})[j]), "
+        f"p -> p[1] * p[2])))"
+    )
+
+
 def q_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tablestructurerec_spark.sources.read import read_table
 
@@ -107,21 +127,15 @@ def q_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def jl_project(emb: DataFrame) -> DataFrame:
     """``(vec_id, proj: array<bigint>[D_OUT])`` in micro-units — map-only."""
-    proj = F.expr(
-        f"transform(sequence(0, {D_OUT - 1}), j -> "
-        f"aggregate(zip_with({_US_SPARK}, element_at({_signs_spark()}, j + 1), "
-        f"(x, s) -> x * s), 0L, (a, x) -> a + x))"
-    )
-    return emb.select("vec_id", proj.alias("proj")).orderBy("vec_id")
+    return emb.select(
+        "vec_id", F.expr(_proj_spark()).alias("proj")
+    ).orderBy("vec_id")
 
 
 def jl_project_sql() -> str:
     """DuckDB twin of :func:`q_jl_project` — value-exact."""
     return f"""
-SELECT vec_id,
-       list_transform(range(1, {D_OUT + 1}), j ->
-         list_sum(list_transform(list_zip({_US_DUCK}, ({_signs_duck()})[j]),
-                                 p -> p[1] * p[2]))) AS proj
+SELECT vec_id, {_proj_duck()} AS proj
 FROM embeddings ORDER BY vec_id
 """
 
@@ -136,17 +150,31 @@ def jl_recall(emb: DataFrame) -> DataFrame:
     """recall@``TOP_K`` of projected-space neighbours vs original-space
     ground truth for queries ``vec_id < N_QUERIES``.  Both spaces use
     exact integer squared-L2; ranks tie-break on vec_id."""
+    # ONE staged (vec_id, u, p) frame, persisted: the four consumers below
+    # (corpus + query side, both spaces) would otherwise be four
+    # differently-pruned corpus scans (the drift.py persist lesson; found
+    # in review).  The result is bounded by N_QUERIES, so it is eagerly
+    # materialized and the cache released in `finally` — no caller-owned
+    # persist lifetime (the skewaudit discipline).
+    base = emb.select(
+        "vec_id",
+        F.expr(_US_SPARK).alias("u"),
+        F.expr(_proj_spark()).alias("p"),
+    ).persist()
+    try:
+        result = _recall_from(base)
+        rows = result.collect()
+        schema = result.schema
+    finally:
+        base.unpersist()
+    return emb.sparkSession.createDataFrame(rows, schema)
+
+
+def _recall_from(base: DataFrame) -> DataFrame:
     from pyspark.sql import Window
 
-    us = emb.select("vec_id", F.expr(_US_SPARK).alias("u"))
-    proj = emb.select(
-        "vec_id",
-        F.expr(
-            f"transform(sequence(0, {D_OUT - 1}), j -> "
-            f"aggregate(zip_with({_US_SPARK}, element_at({_signs_spark()}, j + 1), "
-            f"(x, s) -> x * s), 0L, (a, x) -> a + x))"
-        ).alias("p"),
-    )
+    us = base.select("vec_id", "u")
+    proj = base.select("vec_id", "p")
     q_u = us.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("u").alias("qu")
     )
@@ -205,11 +233,7 @@ def jl_recall_sql() -> str:
 WITH us AS (
   SELECT vec_id, {_US_DUCK} AS u FROM embeddings
 ), proj AS (
-  SELECT vec_id,
-         list_transform(range(1, {D_OUT + 1}), j ->
-           list_sum(list_transform(list_zip({_US_DUCK}, ({_signs_duck()})[j]),
-                                   p -> p[1] * p[2]))) AS p
-  FROM embeddings
+  SELECT vec_id, {_proj_duck()} AS p FROM embeddings
 ), d_orig AS (
   SELECT q.vec_id AS qid, c.vec_id,
          list_sum(list_transform(list_zip(c.u, q.u), z -> (z[1] - z[2]) * (z[1] - z[2]))) AS dist

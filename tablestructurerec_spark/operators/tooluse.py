@@ -84,9 +84,6 @@ def _agent_view(docs: DataFrame) -> DataFrame:
     tool_ix = F.expr(
         "CAST(conv('0' || substring(md5(concat('at:', CAST(doc_id AS STRING))), 1, 2), 16, 10) AS INT) % 3"
     )
-    jitter = F.expr(
-        "CAST(conv('0' || substring(md5(concat('aj:', CAST(doc_id AS STRING))), 1, 2), 16, 10) AS INT) % 5"
-    )
     role = F.element_at(F.array(*[F.lit(r) for r in _ROLE_MIX]), role_ix + 1)
     return docs.select(
         F.expr(f"CAST(doc_id DIV {_TURNS_PER_CONV} AS BIGINT)").alias("conv_id"),
@@ -121,6 +118,52 @@ _AGENT_VIEW_SQL = f"""
 """
 
 
+def _new_chain_col():
+    """Chain-start flag over staged ``(role, prev_role)`` columns — shared
+    by the standalone face and the fused audit (found in review: the fused
+    row is the registry's only certification of the family, so the flag
+    expressions must be single-sourced)."""
+    return (
+        F.when(
+            (F.col("role") == "tool")
+            & (F.coalesce(F.col("prev_role"), F.lit("")) != "tool"),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_chain")
+    )
+
+
+def _new_run_col():
+    """Run-start flag over staged ``(role, tool, prev_role, prev_tool)``
+    columns — null-safe tool comparison; shared like :func:`_new_chain_col`."""
+    return (
+        F.when(
+            (F.col("role") == "tool")
+            & ~(
+                (F.coalesce(F.col("prev_role"), F.lit("")) == "tool")
+                & F.expr("prev_tool <=> tool")
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_run")
+    )
+
+
+def _lat_col():
+    """Assistant→tool latency over staged ``(role, prev_role, ts, prev_ts)``
+    columns, whole seconds — shared like :func:`_new_chain_col`."""
+    return (
+        F.when(
+            (F.col("role") == "tool") & (F.col("prev_role") == "assistant"),
+            F.expr("timestampdiff(SECOND, prev_ts, ts)"),
+        )
+        .cast("long")
+        .alias("lat_s")
+    )
+
+
 # ---------------------------------------------------------------------------
 # 1. tool-chain sessionization
 # ---------------------------------------------------------------------------
@@ -142,13 +185,9 @@ def tool_chain_stats(turns: DataFrame) -> DataFrame:
         "turn_idx",
         "role",
         "tool",
-        F.when(
-            (F.col("role") == "tool")
-            & (F.coalesce(F.lag("role").over(w), F.lit("")) != "tool"),
-            1,
-        )
-        .otherwise(0)
-        .alias("new_chain"),
+        F.lag("role").over(w).alias("prev_role"),
+    ).select(
+        "conv_id", "turn_idx", "role", "tool", _new_chain_col()
     ).withColumn("chain_id", F.sum("new_chain").over(w))
     chains = (
         flagged.where(F.col("role") == "tool")
@@ -224,11 +263,8 @@ def tool_latency(turns: DataFrame) -> DataFrame:
             F.lag("role").over(w).alias("prev_role"),
             F.lag("ts").over(w).alias("prev_ts"),
         )
-        .where((F.col("role") == "tool") & (F.col("prev_role") == "assistant"))
-        .select(
-            "tool",
-            F.expr("timestampdiff(SECOND, prev_ts, ts)").cast("long").alias("lat_s"),
-        )
+        .select("tool", _lat_col())
+        .where(F.col("lat_s").isNotNull())
     )
     return (
         calls.groupBy("tool")
@@ -289,22 +325,7 @@ def agent_loop_audit(turns: DataFrame) -> DataFrame:
         "tool",
         F.lag("role").over(w).alias("prev_role"),
         F.lag("tool").over(w).alias("prev_tool"),
-    ).select(
-        "conv_id",
-        "turn_idx",
-        "role",
-        "tool",
-        F.when(
-            (F.col("role") == "tool")
-            & ~(
-                (F.coalesce(F.col("prev_role"), F.lit("")) == "tool")
-                & F.expr("prev_tool <=> tool")
-            ),
-            1,
-        )
-        .otherwise(0)
-        .alias("new_run"),
-    )
+    ).select("conv_id", "turn_idx", "role", "tool", _new_run_col())
     runs = (
         flagged.withColumn("run_id", F.sum("new_run").over(w))
         .where(F.col("role") == "tool")
@@ -392,29 +413,9 @@ def agent_trace_audit(turns: DataFrame) -> DataFrame:
         "role",
         "tool",
         "prev_role",
-        F.when(
-            (F.col("role") == "tool")
-            & (F.coalesce(F.col("prev_role"), F.lit("")) != "tool"),
-            1,
-        )
-        .otherwise(0)
-        .alias("new_chain"),
-        F.when(
-            (F.col("role") == "tool")
-            & ~(
-                (F.coalesce(F.col("prev_role"), F.lit("")) == "tool")
-                & F.expr("prev_tool <=> tool")
-            ),
-            1,
-        )
-        .otherwise(0)
-        .alias("new_run"),
-        F.when(
-            (F.col("role") == "tool") & (F.col("prev_role") == "assistant"),
-            F.expr("timestampdiff(SECOND, prev_ts, ts)"),
-        )
-        .cast("long")
-        .alias("lat_s"),
+        _new_chain_col(),
+        _new_run_col(),
+        _lat_col(),
     )
     numbered = flagged.select(
         "*",

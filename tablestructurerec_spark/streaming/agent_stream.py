@@ -13,13 +13,17 @@ tool turn or names a different tool, null-safe) and emits the
 conversation's current verdict in update mode.
 
 Ordering contract (stated, not assumed away): run detection is defined
-over turn order, so the stream requires per-conversation NON-DECREASING
-``turn_idx`` delivery ACROSS triggers (the standard shape when a
-conversation maps to one Kafka partition); rows inside one trigger are
-sorted before folding, so in-batch disorder is handled exactly.  A row
-arriving with ``turn_idx <= last_turn_idx`` cannot be folded retroactively
-with scalar state — it is COUNTED in the emitted ``n_disordered`` column
-(an audit surface, not a silent wrong answer) and skipped.
+over turn order, so the stream requires per-conversation STRICTLY
+INCREASING ``turn_idx`` delivery ACROSS triggers (the standard shape when
+a conversation maps to one Kafka partition); rows inside one trigger —
+across ALL of the group's Arrow chunks, which arrive as an iterator in
+arbitrary order — are gathered and sorted ONCE before folding, so
+in-trigger disorder is handled exactly.  A row arriving with
+``turn_idx <= last_turn_idx`` (a stale cross-trigger replay, or an
+at-least-once re-delivery of an already-folded turn) cannot be folded
+retroactively with scalar state — it is COUNTED in the emitted
+``n_disordered`` column (an audit surface, not a silent wrong answer)
+and skipped.
 
 Equivalence to the batch audit (tested through real readStream runs,
 including a checkpoint-restart split): for in-order delivery the emitted
@@ -73,9 +77,17 @@ def stream_agent_loop_alerts(
             if run_len >= loop_limit:
                 n_loops += 1
 
-        for pdf in pdfs:
-            pdf = pdf.sort_values("turn_idx")
-            for ti, role, tool in zip(pdf["turn_idx"], pdf["role"], pdf["tool"]):
+        # a group's rows arrive as an ITERATOR of Arrow chunks in arbitrary
+        # order — gather and sort ONCE per trigger (the extract_stream
+        # sessionizer precedent); per-chunk sorting would misread a
+        # conversation spanning two chunks as disordered (found in review)
+        chunks = list(pdfs)
+        batch = pd.concat(chunks) if chunks else pd.DataFrame()
+        if len(batch):
+            batch = batch.sort_values("turn_idx")
+            for ti, role, tool in zip(
+                batch["turn_idx"], batch["role"], batch["tool"]
+            ):
                 ti = int(ti)
                 if ti <= last_ti:
                     n_dis += 1

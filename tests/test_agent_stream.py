@@ -136,3 +136,38 @@ def test_disordered_rows_counted_not_folded(spark, tmp_path):
     assert last["n_disordered"] == 1
     assert last["max_run_len"] == 3
     assert last["n_loop_runs"] == 1 and last["is_looping"]
+
+
+def test_conversation_spanning_arrow_chunks(spark, tmp_path):
+    """A single conversation whose trigger data spans multiple Arrow chunks
+    must fold in turn order, not per-chunk (review finding: per-chunk
+    sorting misread spanning conversations as disordered)."""
+    import datetime
+
+    base = datetime.datetime(2025, 1, 1)
+    # 100 tool turns, alternating tools except a planted run of 4
+    rows = []
+    for i in range(100):
+        tool = "search" if 40 <= i < 44 else ("python" if i % 2 else "browser")
+        rows.append((0, i, "tool", tool, base))
+    schema = (
+        "conv_id BIGINT, turn_idx INT, role STRING, tool STRING, ts TIMESTAMP_NTZ"
+    )
+    src = str(tmp_path / "src4")
+    # REVERSED on disk: with 8-row Arrow chunks the group iterator yields
+    # descending turn ranges, so the old per-chunk fold would count ~92
+    # rows as disordered; the concat-then-sort fold must see order
+    rows.reverse()
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "8")
+    try:
+        sink = []
+        _run_stream(spark, src, sink, str(tmp_path / "ckpt4"))
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    got = _final_verdicts(sink)["0"]
+    assert got["n_disordered"] == 0
+    assert got["n_tool_turns"] == 100
+    assert got["max_run_len"] == 4
+    assert got["n_loop_runs"] == 1

@@ -68,3 +68,17 @@ def test_one_scan_no_join_exchange(spark):
     assert runtime.count("FileScan parquet") == 1
     assert "ReusedExchange" in runtime
     assert "SortMergeJoin" not in runtime
+
+
+def test_special_character_paths_match_duckdb(spark, tmp_path):
+    """input_file_name() is percent-encoded; the operator must decode it so
+    the basename contract holds for paths with spaces (review finding)."""
+    src = str(tmp_path / "dir with space")
+    spark.range(10).coalesce(1).write.parquet(src)
+    got = [
+        tuple(r)
+        for r in file_balance_audit(spark, src).toPandas().itertuples(index=False)
+    ]
+    want = _oracle(src)
+    assert got == want and len(got) == 1
+    assert "%20" not in got[0][0]
