@@ -43,6 +43,9 @@ __all__ = [
     "conv_suffix_pack",
     "role_audit_sql",
     "suffix_pack_sql",
+    "q_pack_efficiency",
+    "pack_efficiency",
+    "pack_efficiency_sql",
     "TOKEN_BUDGET",
     "ROLES",
 ]
@@ -255,8 +258,81 @@ ORDER BY conv_id
 """
 
 
+def q_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tablestructurerec_spark.sources.read import read_table
+
+    return pack_efficiency(_conv_view(read_table(spark, sf_dir, "documents")))
+
+
+def pack_efficiency(turns: DataFrame, budget: int = TOKEN_BUDGET) -> DataFrame:
+    """Context-window FILL-RATE report over the suffix packer — the metric
+    a training team actually tracks: every example whose kept suffix fills
+    only half the window wastes half the step's FLOPs, and every truncated
+    conversation loses left context.
+
+    Per conversation (riding the packer's own kept flags, so the report
+    cannot disagree with what the packer ships): ``used`` = kept tokens,
+    ``waste = budget - used``, ``dropped`` = truncated-away tokens.  The
+    corpus report buckets conversations by fill DECILE
+    (``used*1e6 DIV budget DIV 1e5``, all-integer) — bounded 11-row
+    output.  Shuffle shape: the conv-grain aggregation reuses the packer
+    window's conv_id partitioning (subset-key rule), the decile rollup is
+    a bounded second exchange."""
+    packed = conv_suffix_pack(turns, budget=budget)
+    per_conv = packed.groupBy("conv_id").agg(
+        F.sum(F.when(F.col("kept"), F.col("n_tok")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("used"),
+        F.sum(F.when(~F.col("kept"), F.col("n_tok")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("dropped"),
+        F.count(F.when(~F.col("kept"), 1)).cast("long").alias("n_cut_turns"),
+    )
+    return (
+        per_conv.select(
+            F.expr(f"used * 1000000 DIV {budget} DIV 100000").alias("fill_decile"),
+            "used",
+            F.expr(f"{budget} - used").alias("waste"),
+            "dropped",
+            (F.col("n_cut_turns") > 0).alias("truncated"),
+        )
+        .groupBy("fill_decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_convs"),
+            F.sum("used").cast("long").alias("total_used_tok"),
+            F.sum("waste").cast("long").alias("total_waste_tok"),
+            F.sum("dropped").cast("long").alias("total_dropped_tok"),
+            F.count(F.when(F.col("truncated"), 1)).cast("long").alias("n_truncated"),
+        )
+        .orderBy("fill_decile")
+    )
+
+
+def pack_efficiency_sql(budget: int = TOKEN_BUDGET) -> str:
+    """DuckDB twin of :func:`q_pack_efficiency` — value-exact (reuses the
+    suffix-pack SQL so the report and the packer cannot drift)."""
+    return f"""
+WITH packed AS ({suffix_pack_sql(budget).replace("ORDER BY conv_id, turn_idx", "")}),
+per_conv AS (
+  SELECT conv_id,
+         SUM(CASE WHEN kept THEN n_tok ELSE 0 END)::BIGINT AS used,
+         SUM(CASE WHEN NOT kept THEN n_tok ELSE 0 END)::BIGINT AS dropped,
+         COUNT(*) FILTER (WHERE NOT kept)::BIGINT AS n_cut_turns
+  FROM packed GROUP BY conv_id
+)
+SELECT (used * 1000000 // {budget}) // 100000 AS fill_decile,
+       COUNT(*)::BIGINT AS n_convs,
+       SUM(used)::BIGINT AS total_used_tok,
+       SUM({budget} - used)::BIGINT AS total_waste_tok,
+       SUM(dropped)::BIGINT AS total_dropped_tok,
+       COUNT(*) FILTER (WHERE n_cut_turns > 0)::BIGINT AS n_truncated
+FROM per_conv GROUP BY fill_decile ORDER BY fill_decile
+"""
+
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_role_sequence_audit": q_role_sequence_audit,
     "t_conv_suffix_pack": q_conv_suffix_pack,
     "t_conv_audit": q_conv_audit,
+    "t_pack_efficiency": q_pack_efficiency,
 }

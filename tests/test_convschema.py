@@ -105,3 +105,49 @@ def test_duckdb_parity_suffix_pack(spark):
     want = [tuple(r) for r in con.execute(suffix_pack_sql()).fetchall()]
     assert got == want
     assert any(r[4] for r in got) and any(not r[4] for r in got)
+
+
+# ---------------------------------------------------------------------------
+# packing-efficiency report
+# ---------------------------------------------------------------------------
+
+def test_pack_efficiency_truth(spark):
+    from tablestructurerec_spark.operators.convschema import pack_efficiency
+
+    # budget 5; conv 0: tokens [3,2,4,1] -> suffix sums [10,7,5,1]: kept
+    # turns 2,3 (used 5, full window, dropped 5, truncated).  conv 1:
+    # single 2-token turn -> used 2 (decile 4), no truncation.
+    convs = {
+        0: [("user", "a b c"), ("assistant", "d e"), ("user", "f g h i"), ("assistant", "j")],
+        1: [("user", "k l")],
+    }
+    out = {r["fill_decile"]: r for r in
+           pack_efficiency(_turns_df(spark, convs), budget=5).collect()}
+    assert set(out) == {10, 4}
+    full = out[10]
+    assert full["n_convs"] == 1 and full["total_used_tok"] == 5
+    assert full["total_waste_tok"] == 0 and full["total_dropped_tok"] == 5
+    assert full["n_truncated"] == 1
+    part = out[4]
+    assert part["n_convs"] == 1 and part["total_used_tok"] == 2
+    assert part["total_waste_tok"] == 3 and part["total_dropped_tok"] == 0
+    assert part["n_truncated"] == 0
+
+
+def test_duckdb_parity_pack_efficiency(spark):
+    from tablestructurerec_spark.operators.convschema import (
+        pack_efficiency_sql,
+        q_pack_efficiency,
+    )
+
+    got = [
+        tuple(r)
+        for r in q_pack_efficiency(spark, SF_DIR).toPandas().itertuples(index=False)
+    ]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
+    )
+    want = [tuple(r) for r in con.execute(pack_efficiency_sql()).fetchall()]
+    assert got == want
+    assert len(got) > 1  # the md5 mix spreads fill across deciles
