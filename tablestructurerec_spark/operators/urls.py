@@ -183,17 +183,38 @@ def _canon_parts_sql(url: str, join_fn: str, rx_fn: str) -> Dict[str, str]:
 
 
 def regdomain_sql(host: str) -> str:
-    """Registered-domain CASE chain over the suffix snapshot — shared
-    verbatim by both engines (LIKE + group-extract only)."""
-    by_len = sorted(PUBLIC_SUFFIX_SNAPSHOT, key=lambda s: -s.count("."))
-    cases = "\n  ".join(
-        f"WHEN {host} LIKE '%.{s}' THEN "
-        f"regexp_extract({host}, '([^.]+[.]{s.replace('.', '[.]')})$', 1)"
-        for s in by_len
+    """Registered-domain extraction over the suffix snapshot — shared
+    verbatim by both engines.
+
+    NOT a per-suffix CASE chain: the round-4 form (one ``LIKE`` + one
+    ``regexp_extract`` per snapshot entry, ~40 heavyweight expressions)
+    stacked into the fused faces blew janino's whole-stage-codegen limits
+    (``processNext()`` ~14,300 lines → ``Failed to compile`` → silent
+    interpreted fallback, VERDICT r4 #1).  Equivalent compact form: group
+    suffixes by label count n (longest first — the PSL longest-match rule);
+    if the host's last n labels are IN the n-label suffix set and an
+    (n+1)-th label exists, the registered domain is the last n+1 labels.
+    One regexp_extract per label-count group + an IN list (compiles to a
+    hash-set ``InSet``) instead of 2 expressions per suffix — O(label
+    depths), not O(snapshot size), so a full PSL swap-in (~9k entries)
+    stays codegen-safe.  Semantics pinned identical by the rule goldens and
+    the host==suffix / dotless-host edge cases in test_urls.py."""
+
+    def _lastn(n: int) -> str:
+        pat = "[.]".join(["[^.]+"] * n)
+        return f"regexp_extract({host}, '({pat})$', 1)"
+
+    by_n: Dict[int, list] = {}
+    for s in PUBLIC_SUFFIX_SNAPSHOT:
+        by_n.setdefault(s.count(".") + 1, []).append(s)
+    branches = "\n  ".join(
+        f"WHEN {_lastn(n)} IN ({', '.join(repr(s) for s in sorted(by_n[n]))}) "
+        f"AND {_lastn(n + 1)} <> '' THEN {_lastn(n + 1)}"
+        for n in sorted(by_n, reverse=True)
     )
     return f"""CASE
-  {cases}
   WHEN {host} NOT LIKE '%.%' THEN {host}
+  {branches}
   ELSE regexp_extract({host}, '([^.]+[.][^.]+)$', 1)
 END"""
 
