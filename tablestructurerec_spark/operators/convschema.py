@@ -39,10 +39,12 @@ __all__ = [
     "QUERIES",
     "q_role_sequence_audit",
     "q_conv_suffix_pack",
+    "q_conv_audit",
     "role_sequence_audit",
     "conv_suffix_pack",
     "role_audit_sql",
     "suffix_pack_sql",
+    "conv_audit_sql",
     "q_pack_efficiency",
     "pack_efficiency",
     "pack_efficiency_sql",

@@ -26,8 +26,9 @@ Spark shape, audited for 100 TB — JOIN-FREE day pairing:
 * per-pair totals are window sums over the pair partition (tiny frame),
   the final per-pair aggregate emits the stat; the default face eagerly
   collects the bounded (≤ #days) result and RELEASES the persist in a
-  ``finally`` (``materialize=False`` hands the lazy plan — and the
-  cache's lifetime — to the caller).
+  ``finally`` (``materialize=False`` hands ``(lazy plan, persisted
+  counts handle)`` — the cache's lifetime AND the means to release it —
+  to the caller).
 
 Returns one row per consecutive-day pair: ``(day_from, day_to, n_from,
 n_to, n_types, drift_ppm)``, ordered by day_from.  Standalone operator with
@@ -65,9 +66,11 @@ def distribution_drift(
     """By default the bounded result (≤ #days rows) is eagerly collected
     and the persisted counts table released in a ``finally`` (ADVICE r3:
     a long session otherwise accumulates live caches with no release
-    path).  ``materialize=False`` returns the lazy plan instead — the
-    CALLER then owns the persisted counts table's lifetime (the
-    plan-inspection face used by the scan-once pin test)."""
+    path).  ``materialize=False`` returns ``(result, counts)`` instead —
+    the lazy plan PLUS a handle to the persisted counts table, so the
+    caller that now owns the cache's lifetime can actually release it
+    (``counts.unpersist()``) — ADVICE r4: returning only the plan made
+    the cache unreleasable except via ``spark.catalog.clearCache()``."""
     # persisted: the day-index collect below and the fan-out both read this
     # aggregate — without the persist Catalyst rebuilds it per consumer
     # (differently-pruned subtrees defeat exchange reuse, the round-2 / pmi
@@ -78,7 +81,7 @@ def distribution_drift(
         result = drift_from_counts(events.sparkSession, counts)
         if not materialize:
             keep = True
-            return result
+            return result, counts
         rows, schema = result.collect(), result.schema
     finally:
         if not keep:

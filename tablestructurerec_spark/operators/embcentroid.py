@@ -54,8 +54,11 @@ def label_centroid_sim(embs: DataFrame, materialize: bool = True) -> DataFrame:
     """By default the bounded result (≤ labels² pair rows) is eagerly
     collected and the persisted centroid frame released in a ``finally``
     (ADVICE r3: a long session otherwise accumulates live caches with no
-    release path).  ``materialize=False`` returns the lazy plan instead —
-    the CALLER then owns the persisted centroid frame's lifetime."""
+    release path).  ``materialize=False`` returns ``(result, centroids)``
+    instead — the lazy plan PLUS a handle to the persisted centroid frame,
+    so the caller that now owns the cache's lifetime can actually release
+    it (ADVICE r4: returning only the plan made the cache unreleasable
+    except via ``spark.catalog.clearCache()``)."""
     dims = embs.select(
         "label", F.posexplode("embedding").alias("dim", "v")
     ).select(
@@ -75,7 +78,7 @@ def label_centroid_sim(embs: DataFrame, materialize: bool = True) -> DataFrame:
         result = _guarded_pairs(cent)
         if not materialize:
             keep = True
-            return result
+            return result, cent
         rows, schema = result.collect(), result.schema
     finally:
         if not keep:

@@ -50,9 +50,16 @@ def file_balance_audit(spark: SparkSession, path: str) -> DataFrame:
             # input_file_name() returns a percent-ENCODED file: URI while
             # DuckDB's filename is the raw path — decode before taking the
             # basename or 'my file.parquet' reports as 'my%20file.parquet'
-            # and the parity contract breaks (found in review)
+            # and the parity contract breaks (found in review).  Decode
+            # PERCENT-ESCAPES ONLY: url_decode is application/x-www-form-
+            # urlencoded, which also maps '+' to a space, but a literal '+'
+            # in a path is NOT escaped in the URI — pre-escaping it to %2B
+            # makes url_decode a pure percent-decoder, so 'a+b.parquet'
+            # round-trips (ADVICE r4)
             F.regexp_extract(
-                F.expr("url_decode(input_file_name())"), "([^/]+)$", 1
+                F.expr("url_decode(replace(input_file_name(), '+', '%2B'))"),
+                "([^/]+)$",
+                1,
             ).alias("file")
         )
         .groupBy("file")

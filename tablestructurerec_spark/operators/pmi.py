@@ -28,8 +28,8 @@ Spark shape, audited for 100 TB:
   scan-once guarantee, and it holds a few (token, token, long) rows per
   observed pair, not documents; the default face eagerly collects the
   bounded TOP_K result and RELEASES the persist in a ``finally``
-  (``materialize=False`` hands the lazy plan — and the cache's lifetime —
-  to the caller);
+  (``materialize=False`` hands ``(lazy plan, persisted bigram handle)``
+  — the cache's lifetime AND the means to release it — to the caller);
 * marginals are window sums over the persisted table partitioned by w1 /
   by w2 (two shuffles of the SMALL table); the total N is a scalar
   aggregate collected to the driver and folded in as a literal (k-means /
@@ -94,9 +94,11 @@ def pmi_bigrams(docs: DataFrame, materialize: bool = True) -> DataFrame:
     """By default the bounded result (≤ TOP_K rows) is eagerly collected
     and the persisted bigram table released in a ``finally`` (ADVICE r3:
     a long session otherwise accumulates live caches with no release
-    path).  ``materialize=False`` returns the lazy plan instead — the
-    CALLER then owns the persisted bigram table's lifetime (the
-    plan-inspection face used by the scan-once pin test)."""
+    path).  ``materialize=False`` returns ``(result, bigrams)`` instead —
+    the lazy plan PLUS a handle to the persisted bigram table, so the
+    caller that now owns the cache's lifetime can actually release it
+    (ADVICE r4: returning only the plan made the cache unreleasable
+    except via ``spark.catalog.clearCache()``)."""
     toks = docs.select(tokens_col(F.col("text")).alias("toks"))
     bg = bigram_counts(toks).persist()
     keep = False
@@ -118,7 +120,7 @@ def pmi_bigrams(docs: DataFrame, materialize: bool = True) -> DataFrame:
         ).limit(TOP_K)
         if not materialize:
             keep = True
-            return result
+            return result, bg
         rows, schema = result.collect(), result.schema
     finally:
         if not keep:

@@ -171,9 +171,21 @@ def _rank_members(assigned: DataFrame) -> DataFrame:
     )
 
 
-def _verdict(member: DataFrame, tau: float) -> DataFrame:
+def _verdict(member: DataFrame, tau: float, salt: int = 1) -> DataFrame:
     """The paper's greedy upper-triangular rule over ranked members —
-    shared by both faces so the semantics cannot drift."""
+    shared by both faces so the semantics cannot drift.
+
+    ``salt > 1`` additionally SALTS the pair join's key: the probe side
+    gets a deterministic ``pmod(xxhash64(bid), salt)`` bucket and the
+    build side is replicated once per bucket, so the join key becomes
+    ``(cluster_id, salt_id)`` and a hot cluster's quadratic work spreads
+    over ``salt`` tasks EVEN when the build side is too big to broadcast
+    and Spark plans a SortMergeJoin (whose re-exchange by join key would
+    otherwise put the whole hot cluster back on one task — ADVICE r4).
+    Results are salt-invariant (each probe row still meets each build row
+    of its cluster exactly once); the identity is pinned in
+    tests/test_semdedup.py.  Default 1 keeps the broadcast-regime plan
+    byte-identical."""
     a = member.select(
         F.col("cluster_id").alias("c"),
         F.col("rk").alias("rk_a"),
@@ -181,17 +193,17 @@ def _verdict(member: DataFrame, tau: float) -> DataFrame:
         F.col("nrm").alias("nrm_a"),
     )
     # The probe side is round-robin repartitioned with an EXPLICIT partition
-    # count (AQE preserves user-specified numbers) for two reasons, both
-    # measured: (a) the pair join EXPLODES — |cluster|²/2 output rows from
-    # tiny inputs — so AQE's input-bytes coalescing is exactly wrong here
-    # (at bench sf it collapsed the probe to ONE task: 12.5M interpreted
-    # array-dot evaluations on one core, 92 s → 6 s after this line); (b) a
-    # HOT cluster's quadratic work is split across tasks instead of
-    # serializing on the one task that owns its cluster_id hash — the
-    # explicit skew handling the join needs, since the build side reaches
-    # every task (broadcast at small member counts; replicated through the
-    # re-exchange a SortMergeJoin would insert at production scale, where
-    # the extra linear shuffle is noise against the quadratic join output).
+    # count (AQE preserves user-specified numbers): the pair join EXPLODES —
+    # |cluster|²/2 output rows from tiny inputs — so AQE's input-bytes
+    # coalescing is exactly wrong here (at bench sf it collapsed the probe
+    # to ONE task: 12.5M interpreted array-dot evaluations on one core,
+    # 92 s → 6 s after this line).  In the BROADCAST regime this also splits
+    # a hot cluster's quadratic work across tasks, because the build side
+    # reaches every task.  It does NOT survive a SortMergeJoin fallback —
+    # SMJ re-exchanges the probe by cluster_id hash, re-serializing the hot
+    # cluster on one task and reducing this line to a pure extra shuffle;
+    # real skew-splitting at SMJ scale is the ``salt`` knob above (ADVICE
+    # r4 corrected the earlier comment's overclaim here).
     n_part = int(member.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     b = member.select(
         "cluster_id",
@@ -200,8 +212,17 @@ def _verdict(member: DataFrame, tau: float) -> DataFrame:
         F.col("embedding").alias("emb_b"),
         F.col("nrm").alias("nrm_b"),
     ).repartition(n_part)
+    cond = (a["c"] == b["cluster_id"]) & (a["rk_a"] < b["rk_b"])
+    if salt > 1:
+        a = a.withColumn(
+            "salt_a", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+        )
+        b = b.withColumn(
+            "salt_b", F.pmod(F.xxhash64("bid"), F.lit(salt)).cast("int")
+        )
+        cond = cond & (a["salt_a"] == b["salt_b"])
     prior = (
-        b.join(a, (a["c"] == b["cluster_id"]) & (a["rk_a"] < b["rk_b"]))
+        b.join(a, cond)
         .groupBy("bid")
         .agg(
             F.max(
@@ -262,6 +283,7 @@ def q_semdedup_scale(
     sf_dir: str,
     tau: float = _SEM_TAU,
     target_cluster_size: int = _SEM_TARGET_CLUSTER,
+    salt: int = 1,
 ) -> DataFrame:
     """Per-vector SemDeDup verdict (SCALE face): corpus-derived k,
     distributed MLlib k-means fit, map-only JVM assignment.
@@ -270,6 +292,9 @@ def q_semdedup_scale(
     k-means|| is seeded but not replayable outside the JVM — see module
     docstring); pytest pins planted-twin recovery, the k derivation, the
     no-N·k plan shape, and small-regime agreement with the oracle face.
+    ``salt`` is the production skew knob for the pair join (see
+    :func:`_verdict`): results are salt-invariant, so the default 1 keeps
+    the small-regime plan identical.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -300,7 +325,7 @@ def q_semdedup_scale(
         "cluster_id",
         F.round(_sqdist(F.col("embedding"), F.col("cv")), 6).alias("cdist"),
     )
-    return _verdict(_rank_members(assigned), tau)
+    return _verdict(_rank_members(assigned), tau, salt=salt)
 
 
 def semdedup_oracle(

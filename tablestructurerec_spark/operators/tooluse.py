@@ -57,12 +57,15 @@ __all__ = [
     "q_tool_chain_stats",
     "q_tool_latency",
     "q_agent_loop_audit",
+    "q_agent_trace_audit",
     "tool_chain_stats",
     "tool_latency",
     "agent_loop_audit",
+    "agent_trace_audit",
     "chain_stats_sql",
     "latency_sql",
     "loop_audit_sql",
+    "trace_audit_sql",
     "LOOP_LIMIT",
     "TOOLS",
 ]

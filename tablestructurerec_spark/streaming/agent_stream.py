@@ -4,10 +4,10 @@ call is the pathology you want to ALERT on while the trace is being
 ingested, not discover in tomorrow's batch audit).
 
 Custom stateful operator (``applyInPandasWithState``, the
-``stream_conversation_sessions`` precedent): state per conversation is SIX
-SCALARS — ``(last_turn_idx, last_was_tool, last_tool, run_len, max_run,
-n_loop_runs, n_tool_turns, n_disordered)`` — O(live conversations), never
-O(turns).  Each trigger folds its rows through EXACTLY the batch
+``stream_conversation_sessions`` precedent): state per conversation is
+EIGHT SCALARS — ``(last_turn_idx, last_was_tool, last_tool, run_len,
+max_run, n_loop_runs, n_tool_turns, n_disordered)`` — O(live
+conversations), never O(turns).  Each trigger folds its rows through EXACTLY the batch
 operator's run semantics (a run breaks when the previous turn is not a
 tool turn or names a different tool, null-safe) and emits the
 conversation's current verdict in update mode.

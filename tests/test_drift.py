@@ -74,9 +74,14 @@ def test_single_corpus_scan(spark):
     # counts aggregate (plus a third scan for days.count()).  The persisted
     # counts must feed the runtime plan — no raw scan above the cache.
     mixes = [{"a": 10, "b": 5}, {"a": 7, "b": 9}, {"a": 3}]
-    # materialize=False: the lazy plan-inspection face (the default face
-    # collects the bounded result and releases the cache in a finally)
-    out = distribution_drift(_events(spark, mixes), "event_type", materialize=False)
+    jsc = spark.sparkContext._jsc.sc()
+    before = len(jsc.getRDDStorageInfo())
+    # materialize=False: the lazy plan-inspection face returns the plan AND
+    # the persisted counts handle (ADVICE r4: the caller owns the cache's
+    # lifetime, so it must receive the means to release it)
+    out, counts = distribution_drift(
+        _events(spark, mixes), "event_type", materialize=False
+    )
     try:
         out.collect()
         plan = out._jdf.queryExecution().executedPlan().toString()
@@ -86,7 +91,9 @@ def test_single_corpus_scan(spark):
         # HashAggregate(keys=[day...] lives in the cached build plan below
         assert "HashAggregate(keys=[day" not in runtime
     finally:
-        spark.catalog.clearCache()
+        counts.unpersist(blocking=True)
+    # the returned handle releases the cache without clearCache()
+    assert len(jsc.getRDDStorageInfo()) == before
 
 
 def test_default_face_releases_cache(spark):

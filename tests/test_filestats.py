@@ -82,3 +82,24 @@ def test_special_character_paths_match_duckdb(spark, tmp_path):
     want = _oracle(src)
     assert got == want and len(got) == 1
     assert "%20" not in got[0][0]
+
+
+def test_plus_in_basename_not_form_decoded(spark, tmp_path):
+    """ADVICE r4: url_decode is FORM decoding ('+' -> space), but a literal
+    '+' in a path is not percent-encoded in the URI — the operator must
+    percent-decode only, so a file literally named 'a+b 1.parquet' reports
+    that exact basename on both engines (the '+' and the space together pin
+    that %20 still decodes while '+' survives)."""
+    import pandas as pd
+
+    src = str(tmp_path / "mixed")
+    os.makedirs(src)
+    pd.DataFrame({"x": range(7)}).to_parquet(os.path.join(src, "a+b 1.parquet"))
+    pd.DataFrame({"x": range(3)}).to_parquet(os.path.join(src, "plain.parquet"))
+    got = [
+        tuple(r)
+        for r in file_balance_audit(spark, src).toPandas().itertuples(index=False)
+    ]
+    want = _oracle(src)
+    assert got == want and len(got) == 2
+    assert got[0][0] == "a+b 1.parquet"

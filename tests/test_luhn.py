@@ -109,6 +109,42 @@ def test_long_ids_not_truncated_to_cards(spark, tmp_path):
         assert got[i]["n_valid"] == 0 and not got[i]["has_valid_cc"]
 
 
+def test_grouped_long_ids_not_truncated(spark, tmp_path):
+    # ADVICE r4: 17-19 digit GROUPED ids (4-4-4-4-x, real Visa/UnionPay PAN
+    # layouts) must extract whole and fail the 13-16 guard — the earlier
+    # grouped alternative stopped at the fourth group and Luhn-tested the
+    # 16-digit prefix (chance ~10% false positive).  A trailing 4+-digit
+    # same-separator group ("2023") merges into the candidate but is
+    # STRIPPED back off in the checksum stage (it cannot be the last group
+    # of a ≤19-digit PAN), so the ADVICE-r3 year false-negative stays fixed.
+    rows = [
+        # 19-digit grouped; its 16-digit prefix IS Luhn-valid (4111...)
+        {"doc_id": 0, "text": "id 4111 1111 1111 1111 123 end", "source": "s"},
+        {"doc_id": 1, "text": "id 4111-1111-1111-1111-123 end", "source": "s"},
+        # 17-digit grouped 4-4-4-5 (over-length last group, old behavior)
+        {"doc_id": 2, "text": "id 4111 1111 1111 11111 end", "source": "s"},
+        # valid card + 4-digit junk group: card still detected alone
+        {"doc_id": 3, "text": "card 4111 1111 1111 1111 2023 exp", "source": "s"},
+        # plain 16-digit grouped card unaffected
+        {"doc_id": 4, "text": "pay 4111 1111 1111 1111 now", "source": "s"},
+    ]
+    d = _write(tmp_path, rows)
+    got = {r["doc_id"]: r for r in q_cc_audit(spark, d).collect()}
+    for i in (0, 1, 2):
+        assert got[i]["n_candidates"] == 1, (i, got.get(i))
+        assert not got[i]["has_valid_cc"], (i, got.get(i))
+    for i in (3, 4):
+        assert got[i]["has_valid_cc"], (i, got.get(i))
+    # cross-engine agreement on the new alternation (leftmost-first pin)
+    got_rows = [
+        tuple(r) for r in q_cc_audit(spark, d).toPandas().itertuples(index=False)
+    ]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'")
+    want = [tuple(r) for r in con.execute(cc_sql()).fetchall()]
+    assert got_rows == want
+
+
 def test_random_ground_truth(spark, tmp_path):
     rng = random.Random(41)
     rows, truth = [], {}

@@ -77,9 +77,12 @@ def test_single_corpus_scan(spark, tmp_path):
     ]
     d = _write(tmp_path, rows)
     docs = spark.read.parquet(d + "/documents.parquet")
-    # materialize=False: the lazy plan-inspection face (the default face
-    # collects the bounded result and releases the cache in a finally)
-    out = pmi_bigrams(docs, materialize=False)
+    jsc = spark.sparkContext._jsc.sc()
+    before = len(jsc.getRDDStorageInfo())
+    # materialize=False: the lazy plan-inspection face returns the plan AND
+    # the persisted bigram handle (ADVICE r4: the caller owns the cache's
+    # lifetime, so it must receive the means to release it)
+    out, bg = pmi_bigrams(docs, materialize=False)
     try:
         out.collect()
         plan = out._jdf.queryExecution().executedPlan().toString()
@@ -91,7 +94,9 @@ def test_single_corpus_scan(spark, tmp_path):
         runtime = plan.split("InMemoryRelation")[0]
         assert "Scan parquet" not in runtime
     finally:
-        spark.catalog.clearCache()
+        bg.unpersist(blocking=True)
+    # the returned handle releases the cache without clearCache()
+    assert len(jsc.getRDDStorageInfo()) == before
 
 
 def test_default_face_releases_cache(spark, tmp_path):

@@ -176,6 +176,30 @@ def test_scale_face_planted_twins(spark, tmp_path):
 @pytest.mark.skipif(
     not os.path.exists(f"{SF_DIR}/embeddings.parquet"), reason="testdata absent"
 )
+def test_salted_pair_join_is_result_invariant(spark):
+    # ADVICE r4: the probe-side round-robin repartition only splits a hot
+    # cluster's quadratic work while the build side broadcasts; at
+    # SortMergeJoin scale the skew fix is SALTING the join key.  The salted
+    # plan must (a) replicate the build side per salt bucket and (b) return
+    # exactly the unsalted verdict.
+    from tablestructurerec_spark.operators.semdedup import q_semdedup_scale
+
+    base = (
+        q_semdedup_scale(spark, SF_DIR)
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    salted_df = q_semdedup_scale(spark, SF_DIR, salt=4)
+    salted = salted_df.toPandas().sort_values("vec_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(base, salted)
+    plan = salted_df._jdf.queryExecution().executedPlan().toString()
+    assert "explode" in plan.lower()  # build-side replication is in the plan
+
+
+@pytest.mark.skipif(
+    not os.path.exists(f"{SF_DIR}/embeddings.parquet"), reason="testdata absent"
+)
 def test_scale_face_plan_and_k_derivation(spark):
     from tablestructurerec_spark.operators.semdedup import (
         auto_k,
