@@ -24,6 +24,15 @@ permutations, 16 bands x 8 rows) on the same corpus, optionally scaled up
 N-fold with --mult N (deterministic doc_id-shifted replication of the sf
 documents table — no external data), and prints its own JSON line.  Shows
 the banded self-join shape holds when signatures are real-sized.
+
+--queries a,b,c: restrict the timed suite to the named queries (the sf10
+subset point for the quadratic-prone families); the detail file gets a
+"_subset" suffix so it never overwrites the full-suite record.
+
+The result line carries "codegen_failures": the count of whole-stage-
+codegen compile failures ("Failed to compile the generated Java code") in
+the session's captured stderr — 0 expected; any other value means queries
+silently ran interpreted (VERDICT r4).
 """
 
 from __future__ import annotations
@@ -198,6 +207,47 @@ def _replicate_corpus(spark, mult: int, out_dir: str) -> None:
     print(f"replicated x{mult} -> {out_dir}")
 
 
+def _capture_stderr():
+    """Redirect fd 2 to a file BEFORE the JVM launches (the gateway child
+    inherits fd 2 at spawn), so the whole session's stderr — log4j ERROR
+    lines included — is inspectable after the run.  Returns
+    ``(file, saved_fd)`` for :func:`_codegen_failures`."""
+    import tempfile
+
+    f = tempfile.NamedTemporaryFile(
+        prefix="tsr_bench_stderr_", suffix=".log", mode="w+", delete=False
+    )
+    saved = os.dup(2)
+    os.dup2(f.fileno(), 2)
+    return f, saved
+
+
+def _codegen_failures(f, saved) -> int:
+    """Restore fd 2 and count whole-stage-codegen compile failures in the
+    captured stderr.  VERDICT r4 #2: the URL family's janino failure shipped
+    unnoticed because the ERROR lines scrolled past — the count now rides
+    the machine-readable result line (0 expected), so a codegen regression
+    can never ship silently again."""
+    os.dup2(saved, 2)
+    os.close(saved)
+    f.flush()
+    f.seek(0)
+    data = f.read()
+    f.close()
+    os.unlink(f.name)
+    n = data.count("Failed to compile the generated Java code")
+    if n:
+        # surface a bounded excerpt on the REAL stderr so the failure is
+        # also human-visible, without re-polluting the driver's tail with
+        # the full janino dump
+        first = data.find("Failed to compile the generated Java code")
+        sys.stderr.write(
+            f"[bench] {n} codegen compile failure(s); first at stderr "
+            f"offset {first}:\n" + data[first:first + 1500] + "\n"
+        )
+    return n
+
+
 def main() -> None:
     from tablestructurerec_spark.session import get_spark
 
@@ -217,6 +267,7 @@ def main() -> None:
         spark.stop()
         return
 
+    err_file, err_saved = _capture_stderr()
     spark = get_spark(app="tsr-bench", cpus=CPUS)
     spark.sparkContext.setLogLevel("ERROR")
     _ship(spark)
@@ -226,14 +277,17 @@ def main() -> None:
         # overhead (worker spawn, scheduling) is <5% even at the higher
         # parallelism; best-of-2 excludes residual cold-start
         dt, n_turns = _run_extraction(spark, sf, n_convs=64 * _n_convs(sf), reps=2)
-        print(json.dumps({"cpus": CPUS, "sec": round(dt, 3), "turns": n_turns,
-                          "turns_per_sec": round(n_turns / dt, 1)}))
         spark.stop()
+        nfail = _codegen_failures(err_file, err_saved)
+        print(json.dumps({"cpus": CPUS, "sec": round(dt, 3), "turns": n_turns,
+                          "turns_per_sec": round(n_turns / dt, 1),
+                          "codegen_failures": nfail}))
         return
 
     if "--minhash-prod" in sys.argv:
         _minhash_prod(spark, sf)
         spark.stop()
+        _codegen_failures(err_file, err_saved)
         return
 
     import __spark_entry__ as entry_mod
@@ -300,6 +354,34 @@ def main() -> None:
     queries["t_dsir_weights"] = q_dsir_weights
     queries["t_lang_id_ngram"] = q_lang_id_ngram
     queries["t_dedup_keep_best"] = q_dedup_keep_best
+    # registry-EVICTED queries stay in the TIMED set (VERDICT r4 #5: their
+    # correctness rides tests/test_evicted_parity.py, but dropping them from
+    # the bench made perf regressions invisible to the driver's hard signal)
+    from tablestructurerec_spark.operators import (
+        dedup as _dedup,
+        hygiene as _hygiene,
+        retrieval as _retrieval,
+        sampling as _sampling,
+        similarity as _similarity,
+    )
+
+    for _mod, _k in (
+        (_similarity, "ann_ivf_topk"),
+        (_dedup, "dedup_minhash_prod"),
+        (_hygiene, "t_dup_spans"),
+        (_sampling, "t_group_sample"),
+        (_retrieval, "t_bm25_topk"),
+    ):
+        queries[_k] = _mod.QUERIES[_k]
+
+    if "--queries" in sys.argv:
+        # subset mode (the sf10 scaling point runs only the quadratic-prone
+        # families): comma-separated names, unknown names are an error
+        wanted = sys.argv[sys.argv.index("--queries") + 1].split(",")
+        unknown = [w for w in wanted if w not in queries and w != "flagship_extract"]
+        if unknown:
+            sys.exit(f"unknown --queries names: {unknown}")
+        queries = {k: v for k, v in queries.items() if k in wanted}
     timings: dict[str, float] = {}
 
     _warm_python_workers(spark)
@@ -319,9 +401,12 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    spark.stop()
+    n_codegen_failures = _codegen_failures(err_file, err_saved)
     detail = {
         "metric": "bench_suite_seconds",
         "value": total,
+        "codegen_failures": n_codegen_failures,
         "unit": "sec",
         # the suite GREW round over round (r1 ~40, r2 ~53, r3 ~86 timed
         # queries) — totals across rounds are not comparable; compare the
@@ -339,8 +424,11 @@ def main() -> None:
     # BENCH_r03.json — VERDICT r3 #2): the machine-readable perf signal
     # must never scale with suite size.
     os.makedirs(os.path.join(REPO_ROOT, "BENCH"), exist_ok=True)
+    # subset runs get their own detail file — a --queries run must never
+    # overwrite the full-suite record
+    subset_tag = "_subset" if "--queries" in sys.argv else ""
     detail_file = os.path.join(
-        "BENCH", f"bench_detail_sf{sf}_cpus{CPUS}.json"
+        "BENCH", f"bench_detail_sf{sf}_cpus{CPUS}{subset_tag}.json"
     )
     with open(os.path.join(REPO_ROOT, detail_file), "w") as f:
         json.dump(detail, f, indent=1)
@@ -349,6 +437,10 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "n_queries": len(timings),
+        # 0 expected: whole-stage-codegen compile failures counted from the
+        # session's captured stderr (VERDICT r4 #2 — a janino failure means
+        # queries silently ran interpreted and must never ship unnoticed)
+        "codegen_failures": n_codegen_failures,
         # headline only — full per-query map in detail_file
         "queries": {"flagship_extract": timings["flagship_extract"]},
         "sf": sf,
@@ -358,7 +450,6 @@ def main() -> None:
         "detail_file": detail_file,
     }
     print(json.dumps(compact))
-    spark.stop()
 
     if "--scaling" in sys.argv:
         _scaling_report(sf)
