@@ -367,9 +367,11 @@ def main() -> None:
 
     for _mod, _k in (
         (_similarity, "ann_ivf_topk"),
+        (_similarity, "ann_lsh_bucket_topk"),
         (_dedup, "dedup_minhash_prod"),
         (_hygiene, "t_dup_spans"),
         (_sampling, "t_group_sample"),
+        (_sampling, "t_pack_sequences"),
         (_retrieval, "t_bm25_topk"),
     ):
         queries[_k] = _mod.QUERIES[_k]

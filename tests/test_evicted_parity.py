@@ -31,6 +31,11 @@ EVICTED = [
     # second round-4 rotation: kernel rides inside the registered
     # t_hybrid_rrf oracle (_bm25_scored_ctes shared verbatim)
     "t_bm25_topk",
+    # round-5 rotation: banding ⊂ t_triplet_mine + multi-probe ⊂
+    # t_emb_pipeline + cos-topk window ⊂ ann_bruteforce/ivf_kmeans; the
+    # greedy packer's recursive-CTE oracle ⊂ t_pipeline_e2e
+    "ann_lsh_bucket_topk",
+    "t_pack_sequences",
 ]
 
 
