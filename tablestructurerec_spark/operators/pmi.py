@@ -103,6 +103,11 @@ def pmi_bigrams(docs: DataFrame, materialize: bool = True) -> DataFrame:
     bg = bigram_counts(toks).persist()
     keep = False
     try:
+        # this aggregate touches EVERY partition of bg, so the persist is
+        # fully materialized here — the later result.collect() reads the
+        # cache, never re-executes the corpus lineage (VERDICT r4 #7; the
+        # runtime-plan pin is test_pmi.test_single_corpus_scan: no parquet
+        # scan above the InMemoryRelation)
         total = bg.agg(F.sum("c_xy")).collect()[0][0] or 0
         scored = (
             bg.withColumn("c_left", F.sum("c_xy").over(Window.partitionBy("w1")))

@@ -25,15 +25,34 @@ lookaround, no backreference, the hygiene PII rule).
 
 Canonical form (documented policy, pinned by tests):
 
-* scheme and host lowercased; ONE trailing host dot stripped; a leading
-  ``www.`` label stripped (the common crawl-dedup convention — documented
-  as policy, not universal truth);
+* scheme and host lowercased; userinfo (``user:pass@``) stripped; ONE
+  trailing host dot stripped; a leading ``www.`` label stripped (the
+  common crawl-dedup convention — documented as policy, not universal
+  truth);
 * default ports dropped (``http:80``, ``https:443``), others kept;
 * empty path becomes ``/``; fragment dropped;
 * query params: tracking params removed (``utm_*``, ``gclid``, ``fbclid``,
   ``msclkid``, ``igshid``, ``ref``, ``ref_src``), the rest SORTED (byte
   order — identical in both engines) so param order never defeats URL-level
   dedup.
+
+Adversarial classes, policy DOCUMENTED and cross-engine-pinned by
+``tests/test_urls.py`` (round-5 robustness pass):
+
+* IDN / punycode hosts: ``xn--`` labels pass through VERBATIM (lowercased,
+  never IDN-decoded) — canonicalization is byte-level, so the punycode and
+  unicode spellings of one host are distinct canonical URLs by design (a
+  real pipeline normalizes to punycode at INGEST, before this operator);
+* IPv6 literals: ``[2001:db8::1]:8080`` keeps its brackets; the
+  end-anchored port rule strips a real port but never bites inside the
+  bracketed literal; a bracketed host is dotless → registers as itself;
+* percent-encoding: ``%XX`` sequences in path and query pass through
+  verbatim (no decode, no case-folding of hex digits) — byte-level
+  equality is the dedup contract, and decoding would conflate ``%2F``
+  with the path separator;
+* userinfo: stripped from the canonical host (see above); a numeric
+  password cannot be mistaken for a port (the port pattern is
+  end-anchored on the raw authority).
 
 Registered domain: longest matching suffix from a LITERAL public-suffix
 snapshot (multi-label entries like ``co.uk`` / ``github.io``), rendered as
@@ -159,11 +178,18 @@ def _canon_parts_sql(url: str, join_fn: str, rx_fn: str) -> Dict[str, str]:
     """Expression strings for the canonical parts of ``url``."""
     scheme = f"lower(regexp_extract({url}, '{_SCHEME_RE}', 1))"
     hostport = f"lower(regexp_extract({url}, '{_HOSTPORT_RE}', 1))"
-    # anchored patterns -> 3-arg regexp_replace is first==all in both engines
+    # anchored patterns -> 3-arg regexp_replace is first==all in both engines.
+    # userinfo ('user:pass@') is stripped FIRST (greedy '^.*@' takes the LAST
+    # '@', the RFC 3986 authority split) — crawl URLs carry credentials and
+    # session tokens there, and leaving them in would both leak them into
+    # the canonical form and defeat URL-level dedup (round-5 robustness
+    # pass; policy pinned by tests/test_urls.py adversarial classes)
     host = (
-        f"regexp_replace(regexp_replace(regexp_replace({hostport}, "
-        f"':[0-9]+$', ''), '[.]$', ''), '^www[.]', '')"
+        f"regexp_replace(regexp_replace(regexp_replace(regexp_replace({hostport}, "
+        f"'^.*@', ''), ':[0-9]+$', ''), '[.]$', ''), '^www[.]', '')"
     )
+    # port stays derived from the raw hostport: ':([0-9]+)$' is end-anchored,
+    # so a numeric password ('u:123@host') can never match it
     port = f"regexp_extract({hostport}, ':([0-9]+)$', 1)"
     path = f"regexp_extract({url}, '{_PATH_RE}', 1)"
     # coalesce: DuckDB's array_to_string(NULL-or-empty list) yields NULL
