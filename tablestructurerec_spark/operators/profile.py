@@ -65,10 +65,20 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialized in intermediate projections so per-element lambdas never
     re-evaluate the tokenizer (see dedup.shingles_col).  At 100 TB this is
     the corpus-profiling pass every ingest runs: embarrassingly parallel,
-    column-pruned to (doc_id, text)."""
+    column-pruned to (doc_id, text).
+
+    The presentation sort runs on the SCAN, before the metric projection
+    (round-5 profile, VERDICT r4 #6): ``orderBy`` range-partitioning
+    SAMPLES its child to pick bounds, so a sort ABOVE the 28-expression
+    pipeline executed the whole pipeline twice (measured 22.1 s at sf1 vs
+    8.4 s this way — the full per-member breakdown is in BASELINE.md).
+    Sorting the cheap (doc_id, text) scan first re-executes only the scan
+    for sampling, and the deterministic narrow projection above the Sort
+    preserves row order (pinned byte-identical incl. order in
+    tests/test_text_profile.py)."""
     from tablestructurerec_spark.sources.read import read_table
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents").orderBy("doc_id")
     text, doc_id = F.col("text"), F.col("doc_id")
     staged = (
         docs.select(
@@ -104,7 +114,7 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         fingerprint_col(F.col("text")),
         *pii_metric_cols(F.col("aug")),
         *repetition_metric_cols(F.col("rep_toks"), F.col("sents"), F.col("bigrams")),
-    ).orderBy("doc_id")
+    )  # ordering rides the pre-projection sort on the scan (see docstring)
 
 
 _TEXT_PROFILE_SQL = f"""

