@@ -387,16 +387,27 @@ def main() -> None:
     timings: dict[str, float] = {}
 
     _warm_python_workers(spark)
-    # best-of-2: first rep still pays JIT/codegen for the extraction plan
-    # itself; the metric is steady-state turns/sec (see BASELINE.json)
-    ext_sec, n_turns = _run_extraction(spark, sf, reps=2)
-    timings["flagship_extract"] = round(ext_sec, 3)
+    # Subset runs time only the named queries: the flagship extraction (a
+    # synth + 2-rep corpus pass, minutes at sf≥1) runs only when asked for
+    # by name — a per-family sf10 point must not pay it on every invocation.
+    run_flagship = "--queries" not in sys.argv or "flagship_extract" in wanted
+    ext_sec, n_turns = 0.0, 0
+    if run_flagship:
+        # best-of-2: first rep still pays JIT/codegen for the extraction plan
+        # itself; the metric is steady-state turns/sec (see BASELINE.json)
+        ext_sec, n_turns = _run_extraction(spark, sf, reps=2)
+        timings["flagship_extract"] = round(ext_sec, 3)
 
     # best-of-2 per query: rep 1 pays codegen/JIT compile and is exposed to
-    # scheduler noise on the shared box; the metric is steady-state latency
+    # scheduler noise on the shared box; the metric is steady-state latency.
+    # --reps 1 exists for the sf10 pair-hostile points where a single rep
+    # already costs tens of minutes (the JIT warm-up is noise at that size).
+    n_reps = (
+        int(sys.argv[sys.argv.index("--reps") + 1]) if "--reps" in sys.argv else 2
+    )
     for name, fn in queries.items():
         best = float("inf")
-        for _ in range(2):
+        for _ in range(n_reps):
             t0 = time.perf_counter()
             _force(fn(spark, SF_DIR))
             best = min(best, time.perf_counter() - t0)
@@ -418,7 +429,7 @@ def main() -> None:
         "sf": sf,
         "cpus": CPUS,
         "turns": n_turns,
-        "turns_per_sec": round(n_turns / ext_sec, 1),
+        "turns_per_sec": round(n_turns / ext_sec, 1) if run_flagship else None,
     }
     # Per-query detail goes to a FILE; stdout's LAST line is a compact
     # totals-only JSON.  The driver captures a bounded tail of stdout, and
@@ -444,11 +455,13 @@ def main() -> None:
         # queries silently ran interpreted and must never ship unnoticed)
         "codegen_failures": n_codegen_failures,
         # headline only — full per-query map in detail_file
-        "queries": {"flagship_extract": timings["flagship_extract"]},
+        "queries": (
+            {"flagship_extract": timings["flagship_extract"]} if run_flagship else timings
+        ),
         "sf": sf,
         "cpus": CPUS,
         "turns": n_turns,
-        "turns_per_sec": round(n_turns / ext_sec, 1),
+        "turns_per_sec": round(n_turns / ext_sec, 1) if run_flagship else None,
         "detail_file": detail_file,
     }
     print(json.dumps(compact))
