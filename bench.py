@@ -319,6 +319,7 @@ def main() -> None:
         filestats,
         health,
         hll,
+        integrity,
         jl,
         kanon,
         kmv,
@@ -327,11 +328,13 @@ def main() -> None:
         luhn,
         mojibake,
         normalize,
+        opsaudit,
         paradedup,
         pmi,
         pq,
         provenance,
         quantiles,
+        selection,
         semdedup,
         sketchaudit,
         skewaudit,
@@ -346,9 +349,10 @@ def main() -> None:
 
     for mod in (bloom, bpe_factored, bpe_train, c4, ccnet, charprofile, cms,
                 convdedup, convschema, curriculum, datacard, degen, distill,
-                drift, embcentroid, filestats, health, hll, jl, kanon, kmv, langscript, leakage, luhn,
-                mojibake, normalize,
-                paradedup, pmi, pq, provenance, quantiles, semdedup,
+                drift, embcentroid, filestats, health, hll, integrity, jl,
+                kanon, kmv, langscript, leakage, luhn,
+                mojibake, normalize, opsaudit,
+                paradedup, pmi, pq, provenance, quantiles, selection, semdedup,
                 sketchaudit, skewaudit, snapshot, tooluse, urls, zipf):
         queries.update(mod.QUERIES)  # modules' own keys — no name drift
     queries["t_dsir_weights"] = q_dsir_weights
@@ -363,16 +367,21 @@ def main() -> None:
         retrieval as _retrieval,
         sampling as _sampling,
         similarity as _similarity,
+        textstats as _textstats,
     )
 
     for _mod, _k in (
         (_similarity, "ann_ivf_topk"),
         (_similarity, "ann_lsh_bucket_topk"),
+        (_similarity, "ann_bruteforce_topk"),
         (_dedup, "dedup_minhash_prod"),
+        (_hygiene, "dedup_decontaminate"),
         (_hygiene, "t_dup_spans"),
         (_sampling, "t_group_sample"),
         (_sampling, "t_pack_sequences"),
+        (_sampling, "t_split_assign"),
         (_retrieval, "t_bm25_topk"),
+        (_textstats, "t_length_quantiles"),
     ):
         queries[_k] = _mod.QUERIES[_k]
 

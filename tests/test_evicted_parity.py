@@ -16,6 +16,7 @@ from tablestructurerec_spark.operators import (
     retrieval,
     sampling,
     similarity,
+    textstats,
 )
 
 SF_DIR = os.environ.get("TSR_TEST_SF_DIR", "/root/testdata/sf0.001")
@@ -36,12 +37,22 @@ EVICTED = [
     # greedy packer's recursive-CTE oracle ⊂ t_pipeline_e2e
     "ann_lsh_bucket_topk",
     "t_pack_sequences",
+    # round-5 rotation #2: cosine kernel ⊂ dedup_embedding_cosine /
+    # t_triplet_mine / t_emb_pipeline + rank-over-cos window ⊂
+    # ann_ivf_kmeans_topk; split_label ⊂ t_emb_pipeline + hash-uniform
+    # bucket ⊂ t_stratified_sample; _shingle5 ⊂ t_boilerplate_ngrams +
+    # broadcast-reference-side join discipline ⊂ dedup_incremental
+    "ann_bruteforce_topk",
+    "t_split_assign",
+    "dedup_decontaminate",
+    # exact type-7 per-source percentile kernel ⊂ t_adaptive_filter
+    "t_length_quantiles",
 ]
 
 
 def _pairs():
     out = {}
-    for mod in (dedup, hygiene, retrieval, sampling, similarity):
+    for mod in (dedup, hygiene, retrieval, sampling, similarity, textstats):
         for k in EVICTED:
             if k in mod.QUERIES:
                 out[k] = (mod.QUERIES[k], mod.ORACLE_SQL[k])
