@@ -38,19 +38,26 @@ __all__ = ["QUERIES", "q_sketch_audit", "sketch_audit_sql"]
 
 
 def _tall(df: DataFrame, metrics: Dict[str, str], key: str) -> DataFrame:
-    """Reshape (key, m1, m2, ...) → rows of (metric, key, value)."""
-    parts = [
-        df.select(
-            F.lit(name).alias("metric"),
-            F.col(key).cast("string").alias("key"),
-            F.col(col).cast("long").alias("value"),
+    """Reshape (key, m1, m2, ...) → rows of (metric, key, value).
+
+    One explode per sketch, NOT one union branch per metric: a per-metric
+    select re-executes the sketch's aggregation subtree once per metric
+    and stacks shuffle partitions per branch under the final sort (the
+    ``opsaudit._tall`` finding — measured 3× the sum of parts there).
+    Row-identical to the union form."""
+    row = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(name).alias("metric"),
+                    F.col(key).cast("string").alias("key"),
+                    F.col(col).cast("long").alias("value"),
+                )
+                for name, col in metrics.items()
+            ]
         )
-        for name, col in metrics.items()
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    ).alias("x")
+    return df.select(row).select("x.metric", "x.key", "x.value")
 
 
 def q_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
