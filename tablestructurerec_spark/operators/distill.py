@@ -61,13 +61,19 @@ def _feats(docs: DataFrame) -> DataFrame:
 
 
 def _fit_frames(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, teacher: DataFrame | None = None
 ) -> tuple[DataFrame, DataFrame]:
     """The shared fit: (≤_NB_BUCKETS-row ratio frame, 1-row prior frame).
     Used by the batch scorer and collected by :func:`nb_model` for the
-    stateless streaming scorer."""
+    stateless streaming scorer.  ``teacher`` lets a composing caller
+    (``selection.q_selection_pipeline``) pass its OWN CCNet frame — the
+    shared object gives both consumers identical expression IDs, the
+    precondition for runtime exchange reuse of the CCNet aggregates
+    (separate ``q_ccnet_buckets`` calls can never be deduped)."""
     docs = _t(spark, sf_dir, "documents")
-    labels = q_ccnet_buckets(spark, sf_dir).where(
+    labels = (
+        teacher if teacher is not None else q_ccnet_buckets(spark, sf_dir)
+    ).where(
         (F.col("bucket").isin("head", "tail")) & (F.col("doc_id") < _TRAIN_MAX_ID)
     )
     train = labels.select("doc_id", (F.col("bucket") == "head").alias("pos"))
@@ -130,12 +136,16 @@ def _fit_frames(
     return ratio, prior
 
 
-def q_quality_distill(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_quality_distill(
+    spark: SparkSession, sf_dir: str, teacher: DataFrame | None = None
+) -> DataFrame:
     """Per-document ``(doc_id, n_feats, nb_score, pred_head)``: the hashed-
     NB log-odds of being a CCNet ``head`` document (positive = head-like),
-    and the binary verdict ``pred_head = log-odds > 0``."""
+    and the binary verdict ``pred_head = log-odds > 0``.  ``teacher``
+    forwards to :func:`_fit_frames` (composing callers share their CCNet
+    frame for exchange reuse)."""
     docs = _t(spark, sf_dir, "documents")
-    ratio, prior = _fit_frames(spark, sf_dir)
+    ratio, prior = _fit_frames(spark, sf_dir, teacher)
     per_doc = (
         _feats(docs)
         .join(F.broadcast(ratio), "fb")

@@ -54,14 +54,21 @@ def q_selection_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     verdict, the DSIR importance weight, and the curriculum position,
     joined on ``doc_id`` (all four stages emit exactly one row per doc,
     so the inner joins are total)."""
-    cc = q_ccnet_buckets(spark, sf_dir).select(
+    cc_raw = q_ccnet_buckets(spark, sf_dir)
+    cc = cc_raw.select(
         "doc_id",
         "lang",
         "n_tokens",
         "ppl",
         F.col("bucket").alias("ppl_bucket"),
     )
-    nb = q_quality_distill(spark, sf_dir).select(
+    # the SAME DataFrame object feeds the distill teacher fit, so the two
+    # consumers carry identical expression IDs — the precondition for
+    # runtime exchange reuse of the CCNet aggregates (separate
+    # q_ccnet_buckets calls can never be deduped; shared ones can be,
+    # stage-permitting — measured a modest win, not a halving, because the
+    # teacher's filter sits between the shared aggregates and its consumer)
+    nb = q_quality_distill(spark, sf_dir, teacher=cc_raw).select(
         "doc_id",
         F.col("n_feats").alias("nb_feats"),
         "nb_score",
