@@ -105,4 +105,17 @@ if __name__ == "__main__":
 
     q_ann_pq_topk(spark, sf_dir).show()
 
+    print("== fused selection pipeline: CCNet x NB-verdict agreement ==")
+    from tablestructurerec_spark.operators.selection import q_selection_pipeline
+
+    q_selection_pipeline(spark, sf_dir).groupBy("ppl_bucket", "pred_head").count(
+    ).orderBy("ppl_bucket", "pred_head").show()
+
+    print("== fused ops audit (one row per metric family) ==")
+    from tablestructurerec_spark.operators.opsaudit import q_ops_audit
+
+    q_ops_audit(spark, sf_dir).groupBy(
+        "metric"
+    ).count().orderBy("metric").show(20)
+
     spark.stop()
